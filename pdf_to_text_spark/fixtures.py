@@ -1,0 +1,247 @@
+"""Deterministic synthetic corpus + sequential golden oracle (FIXTURES.md).
+
+Generates the ``pages`` input table (url, warc_ts, html:binary, text,
+lang) with the row classes from FIXTURES.md §1, and computes golden
+outputs with a sequential, non-Spark oracle implementation of the
+frozen extraction spec (SURVEY.md §5.2.2). No external data; seeded.
+
+CLI:
+    python -m pdf_to_text_spark.fixtures --out DIR --rows N [--seed 42]
+writes  DIR/pages.parquet, DIR/golden_extracted.parquet,
+        DIR/golden_pages.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+from pdf_to_text_spark.core.pdfparse import PdfError, extract_pdf_pages
+from pdf_to_text_spark.core.textnorm import normalize_extracted, text_layer_sufficient
+
+_WORDS = (
+    "data spark table query column partition shuffle join filter scan page "
+    "document text extract content main article heading paragraph system "
+    "cluster executor batch arrow vector hash salt skew lineage manifest "
+    "resume golden byte identical pipeline catalyst codegen parquet iceberg"
+).split()
+
+_BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+ROW_CLASSES = [
+    ("pdf_digital", 14),
+    ("pdf_flate", 9),
+    ("pdf_sparse", 7),
+    ("pdf_shuffled_ops", 7),
+    ("html_article", 22),
+    ("html_article_textlayer", 8),
+    ("html_menu", 8),
+    ("html_messy", 10),
+    ("html_empty", 5),
+    ("broken", 5),
+    ("pdf_whale", 1),
+    ("nonenglish", 4),
+]
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
+
+
+def _para(rng: random.Random, sentences: int, wpm: int = 9) -> str:
+    return " ".join(_sentence(rng, rng.randint(5, wpm + 5)) for _ in range(sentences))
+
+
+def _pdf_lines(rng: random.Random, n_lines: int) -> list[str]:
+    return [_sentence(rng, rng.randint(4, 9)) for _ in range(n_lines)]
+
+
+def _make_pdf(rng: random.Random, cls: str) -> bytes:
+    if cls == "pdf_sparse":
+        # cover page (<250 meaningful chars) + an empty page + one real page
+        pages = [
+            page_content_stream(["Cover", "Title only"]),
+            b"",
+            page_content_stream(_pdf_lines(rng, rng.randint(8, 14))),
+        ]
+        return build_pdf(pages)
+    if cls == "pdf_whale":
+        pages = [
+            page_content_stream(_pdf_lines(rng, 40), style="td")
+            for _ in range(rng.randint(120, 180))
+        ]
+        return build_pdf(pages, flate=True)
+    n_pages = rng.randint(2, 5)
+    styles = {
+        "pdf_digital": ["td", "tm", "tstar"],
+        "pdf_flate": ["td", "tj_array"],
+        "pdf_shuffled_ops": ["shuffled"],
+    }[cls]
+    pages = [
+        page_content_stream(_pdf_lines(rng, rng.randint(10, 25)), style=rng.choice(styles))
+        for _ in range(n_pages)
+    ]
+    return build_pdf(pages, flate=(cls == "pdf_flate"))
+
+
+def _nav(rng: random.Random, n: int) -> str:
+    links = "".join(f'<li><a href="/{w}">{w}</a></li>' for w in rng.sample(_WORDS, n))
+    return f"<nav><ul>{links}</ul></nav>"
+
+
+def _make_html(rng: random.Random, cls: str) -> str:
+    head = "<head><title>t</title><style>.x{color:red}</style><script>var a=1;</script></head>"
+    nav = _nav(rng, 8)
+    footer = '<footer><a href="/about">about</a> <a href="/contact">contact</a> tiny</footer>'
+    side = "<aside>" + " ".join(
+        f'<a href="/{w}">{w} {w}</a>' for w in rng.sample(_WORDS, 6)
+    ) + "</aside>"
+    if cls == "html_menu":
+        body = nav + side + footer
+    elif cls == "html_empty":
+        body = ""
+    elif cls == "html_messy":
+        art = (
+            f"<h1>Messy {rng.choice(_WORDS)}</h1>"
+            f"<p>This has inform-\n ation with a hyphen break, runs!!! of punct, "
+            f"a url http://example.com/{rng.choice(_WORDS)} and mail {rng.choice(_WORDS)}@x.io "
+            f"plus bullets • one ◦ two ▪ three and nbsp and ünïcode — dash. "
+            f"{_para(rng, 3)}</p>"
+            f"<p>Short.</p>"
+            f"<p>   {_para(rng, 2)}   \t</p>"
+        )
+        body = nav + f"<main>{art}</main>" + side + footer
+    else:  # html_article / html_article_textlayer
+        paras = "".join(f"<p>{_para(rng, rng.randint(2, 5))}</p>" for _ in range(rng.randint(3, 7)))
+        art = f"<h2>{_sentence(rng, 4)[:-1]}</h2>{paras}"
+        body = nav + f"<article>{art}</article>" + side + footer
+    return f"<!DOCTYPE html>\n<html>{head}<body>{body}</body></html>"
+
+
+def oracle_extract(html: bytes | None, text: str | None) -> tuple[str | None, str | None, str, list[str]]:
+    """The sequential oracle: (extracted_text, error, route, pdf_page_texts).
+
+    Route order (frozen spec): text-layer fast path (P3) → magic-byte
+    sniff (%PDF- → pdf, '<' → html) → error row.
+    """
+    if text_layer_sufficient(text):
+        return normalize_extracted(text), None, "text_layer", []
+    if html is None or len(html) == 0:
+        return None, "empty_payload", "error", []
+    if html.startswith(b"%PDF-"):
+        try:
+            raw_pages = extract_pdf_pages(html)
+        except PdfError as e:
+            return None, f"pdf:{e}", "pdf", []
+        pages = [normalize_extracted(p) for p in raw_pages]
+        return normalize_extracted("\n\n".join(pages)), None, "pdf", pages
+    if html[:32].lstrip()[:1] == b"<":  # 32-byte sniff window (frozen spec)
+        return normalize_extracted(extract_main_content_bytes(html)), None, "html", []
+    return None, "unknown_format", "error", []
+
+
+def make_corpus(n_rows: int, seed: int = 42) -> list[dict]:
+    """Deterministic corpus. Row i's class cycles a weight-expanded list
+    shuffled once by the seed, so every scale has every class."""
+    rng = random.Random(seed)
+    weighted = [c for c, w in ROW_CLASSES for _ in range(w)]
+    rng.shuffle(weighted)
+    rows = []
+    for i in range(n_rows):
+        cls = weighted[i % len(weighted)]
+        r = random.Random((seed << 20) ^ i)  # per-row independent stream
+        url = f"https://fixture.test/doc/{i:06d}"
+        ts = _BASE_TS + dt.timedelta(seconds=137 * i)
+        text: str | None = None
+        lang = "en"
+        if cls.startswith("pdf"):
+            html: bytes | None = _make_pdf(r, cls)
+        elif cls == "broken":
+            kind = r.randrange(3)
+            if kind == 0:
+                html = b"%PDF-1.4\ngarbage no objects"
+            elif kind == 1:
+                html = bytes(r.getrandbits(8) for _ in range(64))
+            else:
+                html = b""
+        else:
+            if cls == "nonenglish":
+                lang = "xx"
+            html = _make_html(r, "html_article" if cls == "nonenglish" else cls).encode()
+            if cls == "html_article_textlayer":
+                text = _para(r, 8)  # >250 chars pre-extracted layer
+        rows.append(
+            {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang, "cls": cls}
+        )
+    return rows
+
+
+_PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> dict:
+    """Write pages.parquet + golden tables; returns summary counts."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = make_corpus(n_rows, seed)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in rows],
+            schema=_PAGES_SCHEMA,
+        ),
+        f"{out_dir}/pages.parquet",
+    )
+    golden, golden_pages = [], []
+    for r in rows:
+        extracted, error, route, pages = oracle_extract(r["html"], r["text"])
+        golden.append(
+            {"url": r["url"], "extracted_text": extracted, "error": error, "route": route}
+        )
+        for pnum, ptext in enumerate(pages, start=1):
+            golden_pages.append({"url": r["url"], "page_num": pnum, "page_text": ptext})
+    golden_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("extracted_text", pa.string()),
+            ("error", pa.string()),
+            ("route", pa.string()),
+        ]
+    )
+    gpages_schema = pa.schema(
+        [("url", pa.string()), ("page_num", pa.int32()), ("page_text", pa.string())]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(golden, schema=golden_schema),
+        f"{out_dir}/golden_extracted.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(golden_pages, schema=gpages_schema),
+        f"{out_dir}/golden_pages.parquet",
+    )
+    from collections import Counter
+
+    return dict(Counter(r["cls"] for r in rows))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--rows", type=int, default=120)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    print(write_corpus(args.out, args.rows, args.seed))

@@ -1,0 +1,119 @@
+"""Catalyst expression library — SURVEY.md §2.4 (F1–F14).
+
+Every function here is a pure ``pyspark.sql.functions`` composition
+(JVM-side, whole-stage-codegen'd; zero Python in the hot path). The
+regex *source strings* are imported from ``core.textnorm`` so the
+Python oracle and the JVM run literally the same patterns; tests assert
+byte-identity on adversarial fixtures.
+
+Java-vs-Python regex gotchas handled here:
+- no bare ``\\s`` (Java = ASCII-only, Python = Unicode) — explicit classes
+- group refs in replacements: Java wants ``$1``, Python ``\\1``
+- ``F.trim`` strips spaces only — outer strip uses anchored classes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.core.textnorm import (
+    CLS_A,
+    RE_BLANKS,
+    RE_DEHYPH,
+    RE_HCOLLAPSE,
+    RE_LINETRIM,
+    RE_LSTRIP,
+    RE_RSTRIP,
+)
+
+# ---------------------------------------------------------------- golden path
+
+
+def strip_outer(c: Column) -> Column:
+    """Strip leading/trailing whitespace incl. newlines (Java trim can't)."""
+    return F.regexp_replace(F.regexp_replace(c, RE_LSTRIP, ""), RE_RSTRIP, "")
+
+
+def blank_collapse(c: Column) -> Column:
+    """F3: per-line trim + collapse runs of blank lines to one
+    (core_document_processing.py:185-194)."""
+    return F.regexp_replace(F.regexp_replace(c, RE_LINETRIM, "\n"), RE_BLANKS, "\n\n")
+
+
+def normalize_extracted(c: Column) -> Column:
+    """Frozen normalization chain v1 — Catalyst twin of
+    ``core.textnorm.normalize_extracted`` (same patterns, same order)."""
+    c = F.regexp_replace(c, RE_DEHYPH, "")       # F5 de-hyphenate
+    c = F.regexp_replace(c, RE_HCOLLAPSE, " ")   # horizontal ws collapse
+    c = F.regexp_replace(c, RE_LINETRIM, "\n")   # per-line trim
+    c = F.regexp_replace(c, RE_BLANKS, "\n\n")   # F3 blank collapse
+    return strip_outer(c)
+
+
+# ------------------------------------------------------- reference cleaners
+
+
+def meaningful_len(c: Column) -> Column:
+    """F1: length excluding whitespace (core_document_processing.py:73)."""
+    return F.length(F.regexp_replace(c, f"{CLS_A}+", ""))
+
+
+def text_layer_sufficient(c: Column, threshold: int = 250) -> Column:
+    """P3 routing predicate — pure Catalyst, no UDF."""
+    return c.isNotNull() & (meaningful_len(c) > F.lit(threshold))
+
+
+def charset_clean(c: Column) -> Column:
+    """F2: OCR charset clean (ocr_engine.py:30-33) + outer strip."""
+    return strip_outer(F.regexp_replace(c, r"[^A-Za-z0-9.,!?;:'\"\- \t\n\r\f\x0b]", ""))
+
+
+def deep_clean(c: Column) -> Column:
+    """F7: deep cleaner (5_NLP/nlp/cleaning.py:9-34). Note ``$1`` group
+    ref (Java); the oracle/DuckDB twin uses ``\\1``."""
+    c = F.regexp_replace(c, r"[^\x00-\x7F]+", " ")
+    c = F.regexp_replace(c, r"http[^ \t\n]+|www[^ \t\n]+", "")
+    c = F.regexp_replace(c, r"[^ \t\n]+@[^ \t\n]+", "")
+    c = F.regexp_replace(c, r"([!?.,]){2,}", "$1")
+    c = F.regexp_replace(c, r"[^a-zA-Z0-9 \t\n.?!]", " ")
+    return strip_outer(F.regexp_replace(c, r"[ \t\n\r\f\x0b]+", " "))
+
+
+def sentence_split(c: Column) -> Column:
+    """M8 deterministic sentence split: break after . ! ? followed by
+    whitespace (rule-based replacement for spaCy/nltk,
+    5_NLP/nlp/sentence_splitter.py:12-17). Returns array<string> with
+    empties removed."""
+    arr = F.split(c, r"(?<=[.!?])[ \t\n]+")
+    return F.filter(F.transform(arr, F.trim), lambda s: F.length(s) > 0)
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (text-analytics tier)."""
+    return F.size(F.filter(F.split(c, f"{CLS_A}+"), lambda s: F.length(s) > 0))
+
+
+# -------------------------------------------------- markdown / blueprint ops
+
+
+def heading_level(c: Column) -> Column:
+    """F9: markdown heading level = count of leading '#' (0 = not a
+    heading) (core_document_processing.py:320-323)."""
+    return F.length(F.regexp_extract(c, r"^(#+)[ ]", 1))
+
+
+def is_bullet(c: Column) -> Column:
+    """F9: bullet-line predicate (^[*•-] + space)."""
+    return F.regexp_extract(c, r"^([*•\-])[ ]", 1) != F.lit("")
+
+
+def extract_image_tag(c: Column) -> Column:
+    """F10: pull X from '[Image of X]' (core_document_processing.py:348-357)."""
+    return F.regexp_extract(c, r"\[Image of (.+?)\]", 1)
+
+
+def code_fence_strip(c: Column) -> Column:
+    """F12: strip ```json fences (ai_presentation generator.py:47-52)."""
+    c = F.regexp_replace(c, r"^```[a-zA-Z]*\n", "")
+    return F.regexp_replace(c, r"\n?```$", "")

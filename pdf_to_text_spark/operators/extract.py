@@ -1,0 +1,230 @@
+"""Extraction operators: content-type routing + Arrow-batched parse UDFs.
+
+Spark-first re-expression of the reference's per-file pipeline
+(``/root/reference/2_OpenCV_OCR/main.py:86-127``,
+``core_document_processing.py:45-89``):
+
+- routing is pure Catalyst (magic bytes / text-layer sniff, SURVEY P3) —
+  the ``F.when`` ladder, no UDF;
+- parsing is the ONLY Python: scalar Arrow-batched pandas UDFs that call
+  the frozen core spec (``core.pdfparse`` / ``core.htmlextract``), so
+  UDF output is byte-identical to the sequential oracle by construction;
+- all normalization is the Catalyst chain (``functions.text``);
+- the doc-level result needs NO shuffle: the PDF UDF returns the ordered
+  page array and reassembly is ``array_join(transform(...))`` — at 100 TB
+  the extraction stage is embarrassingly parallel (scan → project →
+  write), which is what makes ≥0.8 scaling efficiency attainable.
+
+Per-row ``extract_ms`` is measured inside the UDF batch loop and feeds
+the per-partition lineage table (north rule).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+from pdf_to_text_spark.core.pdfparse import PdfError, extract_pdf_pages
+from pdf_to_text_spark.core.textnorm import WS_A
+from pdf_to_text_spark.functions.text import normalize_extracted, text_layer_sufficient
+
+ROUTE_TEXT, ROUTE_PDF, ROUTE_HTML, ROUTE_ERROR = "text_layer", "pdf", "html", "error"
+
+_SNIFF_WINDOW = 32  # bytes; frozen spec, mirrored in fixtures.oracle_extract
+
+_PDF_RESULT = T.StructType(
+    [
+        T.StructField("pages", T.ArrayType(T.StringType())),
+        T.StructField("error", T.StringType()),
+        T.StructField("ms", T.DoubleType()),
+    ]
+)
+
+_HTML_RESULT = T.StructType(
+    [
+        T.StructField("content", T.StringType()),
+        T.StructField("ms", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_PDF_RESULT)
+def pdf_pages_udf(html: pd.Series) -> pd.DataFrame:
+    """binary → (ordered page texts, error, parse-ms). SURVEY M1/M2/M5:
+    deterministic text-object decode replaces rasterize+OCR."""
+    pages_out, err_out, ms_out = [], [], []
+    for data in html:
+        t0 = time.perf_counter()
+        try:
+            pages_out.append(extract_pdf_pages(bytes(data)))
+            err_out.append(None)
+        except PdfError as e:
+            pages_out.append(None)
+            err_out.append(str(e))
+        ms_out.append((time.perf_counter() - t0) * 1000.0)
+    return pd.DataFrame({"pages": pages_out, "error": err_out, "ms": ms_out})
+
+
+@F.pandas_udf(_HTML_RESULT)
+def html_main_udf(html: pd.Series) -> pd.DataFrame:
+    """binary → (raw main-content blocks, parse-ms). North-rule DOM
+    text-density/link-density boilerplate strip (core.htmlextract)."""
+    out, ms_out = [], []
+    for data in html:
+        t0 = time.perf_counter()
+        out.append(extract_main_content_bytes(bytes(data)))
+        ms_out.append((time.perf_counter() - t0) * 1000.0)
+    return pd.DataFrame({"content": out, "ms": ms_out})
+
+
+def sniff_route(html: Column, text: Column, threshold: int = 250) -> Column:
+    """P3 routing ladder, pure Catalyst. Order is frozen spec:
+    text-layer fast path → empty guard → %PDF- magic → '<' within a
+    32-byte lstripped window → error."""
+    prefix = F.decode(F.substring(html, 1, _SNIFF_WINDOW), "ISO-8859-1")
+    first = F.substring(F.regexp_replace(prefix, f"^[{WS_A}]+", ""), 1, 1)
+    return (
+        F.when(text_layer_sufficient(text, threshold), ROUTE_TEXT)
+        .when(html.isNull() | (F.octet_length(html) == 0), ROUTE_ERROR)
+        .when(F.substring(html, 1, 5) == F.lit(b"%PDF-"), ROUTE_PDF)
+        .when(first == "<", ROUTE_HTML)
+        .otherwise(ROUTE_ERROR)
+    )
+
+
+def _assemble_pdf_doc(r: Column) -> Column:
+    """Ordered page array → normalized doc text, shuffle-free (A5)."""
+    pages_norm = F.transform(r["pages"], lambda p: normalize_extracted(p))
+    return normalize_extracted(F.array_join(pages_norm, "\n\n"))
+
+
+def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
+    """The headline operator: pages table → (url, extracted_text, error,
+    route, bytes_in, extract_ms).
+
+    Branch-filtered sub-frames + ``unionByName`` so each UDF only sees
+    its own rows (SURVEY §4.1: the reference's cost-based routing) —
+    and the text-layer branch never materializes the ``html`` binary
+    column at all (column pruning reaches the parquet scan).
+    """
+    routed = pages_df.withColumn("route", sniff_route(F.col("html"), F.col("text"), threshold))
+    bytes_in = F.coalesce(F.octet_length("html"), F.lit(0)).alias("bytes_in")
+
+    text_b = routed.filter(F.col("route") == ROUTE_TEXT).select(
+        "url",
+        normalize_extracted(F.col("text")).alias("extracted_text"),
+        F.lit(None).cast("string").alias("error"),
+        "route",
+        bytes_in,
+        F.lit(0.0).alias("extract_ms"),
+    )
+
+    pdf_b = (
+        routed.filter(F.col("route") == ROUTE_PDF)
+        .withColumn("r", pdf_pages_udf("html"))
+        .select(
+            "url",
+            F.when(F.col("r.error").isNotNull(), F.lit(None).cast("string"))
+            .otherwise(_assemble_pdf_doc(F.col("r")))
+            .alias("extracted_text"),
+            F.when(F.col("r.error").isNotNull(), F.concat(F.lit("pdf:"), F.col("r.error")))
+            .alias("error"),
+            "route",
+            bytes_in,
+            F.col("r.ms").alias("extract_ms"),
+        )
+    )
+
+    html_b = (
+        routed.filter(F.col("route") == ROUTE_HTML)
+        .withColumn("r", html_main_udf("html"))
+        .select(
+            "url",
+            normalize_extracted(F.col("r.content")).alias("extracted_text"),
+            F.lit(None).cast("string").alias("error"),
+            "route",
+            bytes_in,
+            F.col("r.ms").alias("extract_ms"),
+        )
+    )
+
+    err_b = routed.filter(F.col("route") == ROUTE_ERROR).select(
+        "url",
+        F.lit(None).cast("string").alias("extracted_text"),
+        F.when(F.col("html").isNull() | (F.octet_length("html") == 0), "empty_payload")
+        .otherwise("unknown_format")
+        .alias("error"),
+        "route",
+        bytes_in,
+        F.lit(0.0).alias("extract_ms"),
+    )
+
+    return text_b.unionByName(pdf_b).unionByName(html_b).unionByName(err_b)
+
+
+def extract_pdf_page_table(pages_df: DataFrame) -> DataFrame:
+    """Per-page table for the PDF branch: (url, page_num, page_text) —
+    the golden_pages contract (analog of the reference's per-page
+    ``3_Extracted_Texts/*/page_N.txt`` files). Uses posexplode (M1/O2);
+    empty pages are preserved as empty strings."""
+    routed = pages_df.withColumn("route", sniff_route(F.col("html"), F.col("text")))
+    return (
+        routed.filter(F.col("route") == ROUTE_PDF)
+        .withColumn("r", pdf_pages_udf("html"))
+        .filter(F.col("r.error").isNull())
+        .select("url", F.posexplode("r.pages").alias("pos", "page_text_raw"))
+        .select(
+            "url",
+            (F.col("pos") + 1).alias("page_num"),
+            normalize_extracted(F.col("page_text_raw")).alias("page_text"),
+        )
+    )
+
+
+def reassemble_documents(
+    page_df: DataFrame,
+    order: str = "numeric",
+    header_fmt: str = "\n\n---- {name} ----\n\n",
+    separator: str = "\n" + "=" * 50 + "\n",
+) -> DataFrame:
+    """A4/A5: per-document ordered concat of page texts with headers —
+    the reference's ``combine_texts.py:17-30`` (lexicographic) and
+    ``core_document_generator.py:185-187`` (numeric) variants, one
+    parameterized operator.
+
+    Input: (url, page_num, page_text). Output: (url, combined_text).
+    One shuffle on url; map-side partial aggregation applies since
+    collect_list is partial-izable.
+    """
+    if order == "lexicographic":
+        # page_10 sorts before page_2 — the reference's quirk, preserved
+        sort_key = F.concat(F.lit("page_"), F.col("page_num").cast("string"))
+    elif order == "numeric":
+        sort_key = F.lpad(F.col("page_num").cast("string"), 9, "0")
+    else:
+        raise ValueError(order)
+    named = F.struct(
+        sort_key.alias("k"),
+        F.concat(F.lit("page_"), F.col("page_num").cast("string")).alias("name"),
+        F.col("page_text").alias("t"),
+    )
+    pre, post = header_fmt.split("{name}")
+    return (
+        page_df.groupBy("url")
+        .agg(F.array_sort(F.collect_list(named)).alias("parts"))
+        .select(
+            "url",
+            F.array_join(
+                F.transform(
+                    F.col("parts"),
+                    lambda p: F.concat(F.lit(pre), p["name"], F.lit(post), p["t"]),
+                ),
+                separator,
+            ).alias("combined_text"),
+        )
+    )

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local-mode test stand-in for a multi-executor cluster: partitioning,
+AQE and Arrow batch sizing are configured the way a 1000-executor job
+would be; only master/memory differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdf_to_text_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` → ``local[*]``. On a real cluster the same conf block
+    ships unchanged under ``spark-submit --py-files``; only ``master``
+    comes from the cluster manager.
+    """
+    cores_s = "*" if cores is None else str(cores)
+    n_shuffle = shuffle_partitions or (os.cpu_count() or 8 if cores is None else cores)
+    builder = (
+        SparkSession.builder.master(f"local[{cores_s}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # large binary rows (PDF whales): keep Arrow batches bounded so a
+        # batch of multi-MB documents fits executor memory at 100 TB scale
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
