@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship extraction pipeline over sf0.001.
+``queries()``        — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``     — DuckDB twins (same column names, portable
+                       regex/hash semantics: RE2-safe patterns, md5,
+                       explicit 'g' flags, rounded doubles).
 """
 
 from __future__ import annotations
@@ -12,27 +12,559 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pdf_to_text_spark.core.textnorm import CLS_A
+from pdf_to_text_spark.functions import text as X
+from pdf_to_text_spark.operators import dedup as D
+from pdf_to_text_spark.operators import similarity as S
+from pdf_to_text_spark.operators import textstats as TS
+from pdf_to_text_spark.operators.extract import extract_documents
+from pdf_to_text_spark.streaming.stream import windowed_event_counts
+
+SF0001 = "/root/testdata/sf0.001"
+
+# deterministic ANN probe: all-ones query vector (dim 64)
+QVEC = [1.0] * 64
+# deterministic LSH hyperplanes: plane i, component j = +1 if (i*7+j*13)%5<2 else -1
+PLANES = [[1.0 if (i * 7 + j * 13) % 5 < 2 else -1.0 for j in range(64)] for i in range(4)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap sf0.001 documents as an HTML pages table, run the
+    full routed extraction engine, and emit per-doc analytics."""
+    docs = _t(spark, SF0001, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://t/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><article><p>"), F.col("text"), F.lit("</p></article></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    extracted = extract_documents(pages)
+    return extracted.select(
+        "url",
+        "route",
+        X.meaningful_len(F.col("extracted_text")).alias("mlen"),
+        TS.token_count_ws(F.col("extracted_text")).alias("n_tokens"),
+        TS.quality_score(F.col("extracted_text")).alias("quality"),
+    )
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _q01_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q02_revenue_by_nation(spark, sf):
+    li, o, c, n = (_t(spark, sf, t) for t in ("lineitem", "orders", "customer", "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def _q03_top_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+def _q04_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return windowed_event_counts(ev, "1 hour")
+
+
+def _q05_set_ops(spark, sf):
+    o = _t(spark, sf, "events")
+    clickers = o.filter(F.col("event_type") == "click").select("user_id")
+    erring = o.filter(F.col("event_type") == "error").select("user_id")
+    both = clickers.intersect(erring).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("grp"), "n"
+    )
+    only_click = (
+        clickers.distinct()
+        .exceptAll(erring.distinct())
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("click_only").alias("grp"), "n")
+    )
+    return both.unionByName(only_click)
+
+
+def _q10_meaningful_len(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", X.meaningful_len(F.col("text")).alias("mlen"))
+
+
+def _q11_charset_clean(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", X.charset_clean(F.col("text")).alias("cleaned"))
+
+
+def _q12_deep_clean(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", X.deep_clean(F.col("text")).alias("cleaned"))
+
+
+def _q13_normalize(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", X.normalize_extracted(F.col("text")).alias("norm"))
+
+
+# the driver corpus has no terminal punctuation; derive a punctuated
+# column deterministically (literal replace — identical in Java/RE2) so
+# the sentence operators exercise real rows
+def _punctuated(c):
+    return F.regexp_replace(c, "table", "table.")
+
+
+def _q14_sentences(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.explode(X.sentences_strict(_punctuated(F.col("text")))).alias("sentence")
+    )
+
+
+def _q15_sentence_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    s = d.select(
+        "doc_id", F.explode(X.sentences_strict(_punctuated(F.col("text")))).alias("sentence")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc(F.length("sentence")), F.asc("sentence"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "sentence", "rn")
+    )
+
+
+def _q16_route_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(X.text_layer_sufficient(F.col("text")).alias("sufficient")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q17_reassembly_lex(spark, sf):
+    d = _t(spark, sf, "documents")
+    part = F.concat(
+        F.lit("\n\n---- doc_"), F.col("doc_id").cast("string"), F.lit(" ----\n\n"),
+        F.substring("text", 1, 40),
+    )
+    named = F.struct(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("k"), part.alias("p")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(named)), lambda s: s["p"]),
+                "\n" + "=" * 50 + "\n",
+            ).alias("combined")
+        )
+    )
+
+
+def _q18_chunk_concat(spark, sf):
+    d = _t(spark, sf, "documents")
+    named = F.struct(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("k"),
+        F.substring("text", 1, 30).alias("p"),
+    )
+    return (
+        d.groupBy((F.floor(F.col("doc_id") / 5)).cast("long").alias("chunk_id"))
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(named)), lambda s: s["p"]),
+                "\n\n---\n\n",
+            ).alias("chunk_text")
+        )
+    )
+
+
+def _q19_line_paging(spark, sf):
+    d = _t(spark, sf, "documents")
+    s = d.select(
+        "doc_id", F.posexplode(X.sentences_strict(_punctuated(F.col("text")))).alias("pos", "s")
+    )
+    return (
+        s.groupBy("doc_id", F.floor(F.col("pos") / 12).cast("long").alias("page_no"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+def _q20_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return TS.with_text_stats(d, "text").select(
+        "doc_id", "n_len", "n_tokens", "n_subtokens", "stop_ratio", "punct_ratio",
+        "lang_guess", "quality", "fp",
+    )
+
+
+def _q21_lang_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(TS.lang_id(F.col("text")).alias("lang_guess")).agg(F.count("*").alias("n"))
+
+
+def _q30_exact_dedup(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q31_minhash_sigs(spark, sf):
+    return D.minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
+
+
+def _q32_lsh_pairs(spark, sf):
+    return D.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+
+
+def _q33_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+def _q34_simhash(spark, sf):
+    return D.simhash_table(_t(spark, sf, "documents"))
+
+
+def _q40_ann_bruteforce(spark, sf):
+    return S.brute_force_topk(_t(spark, sf, "embeddings"), QVEC, k=10)
+
+
+def _q41_ann_lsh(spark, sf):
+    return S.lsh_topk(_t(spark, sf, "embeddings"), QVEC, PLANES, k=10)
+
+
+def _q42_pairwise_label(spark, sf):
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 120)
+    return S.pairwise_topk_per_label(e, k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": _q01_pricing,
+        "q02_revenue_by_nation": _q02_revenue_by_nation,
+        "q03_top_orders_per_customer": _q03_top_orders,
+        "q04_events_hourly": _q04_events_hourly,
+        "q05_set_ops": _q05_set_ops,
+        "q10_meaningful_len": _q10_meaningful_len,
+        "q11_charset_clean": _q11_charset_clean,
+        "q12_deep_clean": _q12_deep_clean,
+        "q13_normalize_extracted": _q13_normalize,
+        "q14_sentence_explode": _q14_sentences,
+        "q15_sentence_topk": _q15_sentence_topk,
+        "q16_route_counts": _q16_route_counts,
+        "q17_reassembly_lex": _q17_reassembly_lex,
+        "q18_chunk_concat": _q18_chunk_concat,
+        "q19_line_paging": _q19_line_paging,
+        "q20_text_stats": _q20_text_stats,
+        "q21_lang_counts": _q21_lang_counts,
+        "q30_exact_dedup": _q30_exact_dedup,
+        "q31_minhash_signatures": _q31_minhash_sigs,
+        "q32_minhash_lsh_pairs": _q32_lsh_pairs,
+        "q33_ngram_jaccard": _q33_ngram_jaccard,
+        "q34_simhash": _q34_simhash,
+        "q40_ann_topk_bruteforce": _q40_ann_bruteforce,
+        "q41_ann_topk_lsh": _q41_ann_lsh,
+        "q42_pairwise_topk_per_label": _q42_pairwise_label,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle SQL
+
+_CLS = CLS_A  # whitespace class incl. \xa0, shared with the engine
+
+_WORDS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+_SENTS = (
+    "list_filter(list_transform("
+    "regexp_extract_all(regexp_replace(text, 'table', 'table.', 'g'), '[^.!?]+[.!?]+'),"
+    " x -> trim(x)), x -> length(x) > 0)"
+)
+_SHINGLES = (
+    "case when len(words) >= 3 then "
+    "list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) "
+    "else [array_to_string(words, ' ')] end"
+)
+_STOPLIST = "[" + ",".join(f"'{w}'" for w in TS.EN_STOPWORDS) + "]"
+
+
+def _sig_cols(num_hashes: int) -> str:
+    return ", ".join(
+        f"min(md5('{k}:' || shingle)) as sig_{k}" for k in range(num_hashes)
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    balances = ", ".join(
+        f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as b{j}" for j in range(bits)
+    )
+    assemble = " + ".join(f"(case when b{j} > 0 then {1 << j}::bigint else 0 end)" for j in range(bits))
+    return f"""
+with w0 as (
+  select doc_id, unnest({_WORDS}) as wd from documents
+), w as (
+  select distinct doc_id, wd from w0
+), h as (
+  select doc_id, ('0x' || substr(md5(wd), 1, 8))::bigint as h from w
+), b as (
+  select doc_id, {balances} from h group by doc_id
+)
+select doc_id, {assemble} as simhash from b
+"""
+
+
+def _planes_sql() -> str:
+    return ", ".join(
+        "[" + ",".join(str(v) for v in p) + "]::DOUBLE[] as p" + str(i)
+        for i, p in enumerate(PLANES)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qvec = "[" + ",".join(str(v) for v in QVEC) + "]::DOUBLE[]"
+    dot = "list_dot_product(embedding::DOUBLE[], {v})"
+    cos = (
+        f"round({dot.format(v=qvec)} / "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product({qvec}, {qvec}))), 6)"
+    )
+    plane_bucket = " + ".join(
+        f"(case when list_dot_product(embedding::DOUBLE[], "
+        + "["
+        + ",".join(str(v) for v in p)
+        + "]::DOUBLE[]) > 0 then "
+        + str(1 << i)
+        + " else 0 end)"
+        for i, p in enumerate(PLANES)
+    )
+    q_bucket = 0
+    for i, p in enumerate(PLANES):
+        if sum(a * b for a, b in zip(QVEC, p)) > 0:
+            q_bucket |= 1 << i
+
+    return {
+        "q01_pricing_summary": """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc,
+       count(*) as n_rows
+from lineitem where l_shipdate <= timestamp '2002-09-02'
+group by l_returnflag, l_linestatus
+""",
+        "q02_revenue_by_nation": """
+select n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(distinct o_orderkey) as n_orders
+from lineitem join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+""",
+        "q03_top_orders_per_customer": """
+select o_custkey, o_orderkey, round(o_totalprice, 2) as price, rn from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rn
+  from orders) t where rn <= 3
+""",
+        "q04_events_hourly": """
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n, round(sum(value), 4) as sum_value
+from events group by 1, 2
+""",
+        "q05_set_ops": """
+with clickers as (select user_id from events where event_type = 'click'),
+     erring as (select user_id from events where event_type = 'error')
+select 'both' as grp, count(*) as n from (select user_id from clickers intersect select user_id from erring)
+union all
+select 'click_only' as grp, count(*) as n from (
+  select distinct user_id from clickers except select distinct user_id from erring)
+""",
+        "q10_meaningful_len": f"""
+select doc_id, length(regexp_replace(text, '{_CLS}+', '', 'g')) as mlen from documents
+""",
+        "q11_charset_clean": f"""
+select doc_id,
+  regexp_replace(regexp_replace(
+    regexp_replace(text, '[^A-Za-z0-9.,!?;:''"\\- \t\n\r\f\x0b]', '', 'g'),
+    '^{_CLS}+', ''), '{_CLS}+$', '') as cleaned
+from documents
+""",
+        "q12_deep_clean": f"""
+select doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text, '[^\\x00-\\x7F]+', ' ', 'g'),
+      'http[^ \t\n]+|www[^ \t\n]+', '', 'g'),
+      '[^ \t\n]+@[^ \t\n]+', '', 'g'),
+      '([!?.,]){{2,}}', '\\1', 'g'),
+      '[^a-zA-Z0-9 \t\n.?!]', ' ', 'g'),
+    '[ \t\n\r\f\x0b]+', ' ', 'g'),
+  '^{_CLS}+|{_CLS}+$', '', 'g') as cleaned
+from documents
+""",
+        "q13_normalize_extracted": f"""
+select doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(text, '-[ \t\r\f\x0b\xa0]*\n{_CLS}*', '', 'g'),
+    '[ \t\r\f\x0b\xa0]+', ' ', 'g'),
+    ' *\n *', '\n', 'g'),
+    '\n{{3,}}', '\n\n', 'g'),
+    '^{_CLS}+', ''), '{_CLS}+$', '') as norm
+from documents
+""",
+        "q14_sentence_explode": f"""
+select doc_id, unnest({_SENTS}) as sentence from documents
+""",
+        "q15_sentence_topk": f"""
+select doc_id, sentence, rn from (
+  select doc_id, sentence,
+         row_number() over (partition by doc_id order by length(sentence) desc, sentence asc) as rn
+  from (select doc_id, unnest({_SENTS}) as sentence from documents)) t
+where rn <= 5
+""",
+        "q16_route_counts": f"""
+select coalesce(length(regexp_replace(text, '{_CLS}+', '', 'g')) > 250, false) as sufficient,
+       count(*) as n
+from documents group by 1
+""",
+        "q17_reassembly_lex": """
+select source,
+  string_agg(chr(10)||chr(10)||'---- doc_'||doc_id||' ----'||chr(10)||chr(10)||substr(text,1,40),
+             chr(10)||repeat('=',50)||chr(10) order by 'doc_'||doc_id) as combined
+from documents group by source
+""",
+        "q18_chunk_concat": """
+select cast(floor(doc_id / 5) as bigint) as chunk_id,
+       string_agg(substr(text,1,30), chr(10)||chr(10)||'---'||chr(10)||chr(10) order by lpad(doc_id::varchar,9,'0')) as chunk_text
+from documents group by 1
+""",
+        "q19_line_paging": f"""
+with s as (select doc_id, len({_SENTS}) as n from documents),
+     p as (select doc_id, n, unnest(range(0, cast(ceil(n / 12.0) as bigint))) as page_no
+           from s where n > 0)
+select doc_id, page_no, least(12, n - 12 * page_no) as n_lines from p
+""",
+        "q20_text_stats": f"""
+with base as (
+  select doc_id, text, {_WORDS} as words from documents
+), r as (
+  select doc_id, text, words,
+    len(list_filter(words, w -> list_contains({_STOPLIST}, w))) as hits,
+    len(words) as nw,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) as np,
+    length(text) as n
+  from base
+)
+select doc_id, n as n_len,
+  len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), x -> length(x) > 0)) as n_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]')) as n_subtokens,
+  round(case when nw > 0 then hits / nw::double else 0.0 end, 4) as stop_ratio,
+  round(case when n > 0 then np / n::double else 0.0 end, 4) as punct_ratio,
+  case when (case when nw > 0 then hits / nw::double else 0.0 end) >= 0.08 then 'en' else 'other' end as lang_guess,
+  round(((case when n >= 100 and n <= 20000 then 1.0 when n >= 30 then 0.5 else 0.0 end) * 0.4
+      + (case when (case when n > 0 then np / n::double else 0.0 end) <= 0.10 then 1.0 else 0.0 end) * 0.3
+      + (case when (case when nw > 0 then hits / nw::double else 0.0 end) >= 0.05 then 1.0 else 0.0 end) * 0.3)::double, 2) as quality,
+  md5(array_to_string(words, ' ')) as fp
+from r
+""",
+        "q21_lang_counts": f"""
+with r as (
+  select case when len({_WORDS}) > 0
+              then len(list_filter({_WORDS}, w -> list_contains({_STOPLIST}, w))) / len({_WORDS})::double
+              else 0.0 end as sr
+  from documents)
+select case when sr >= 0.08 then 'en' else 'other' end as lang_guess, count(*) as n
+from r group by 1
+""",
+        "q30_exact_dedup": """
+select md5(text) as h, min(doc_id) as keep_id, count(*) as n_dupes
+from documents group by 1
+""",
+        "q31_minhash_signatures": f"""
+with w as (select doc_id, {_WORDS} as words from documents),
+     sh as (select doc_id, {_SHINGLES} as shingles from w),
+     e as (select doc_id, unnest(shingles) as shingle from sh)
+select doc_id, {_sig_cols(8)} from e group by doc_id
+""",
+        "q32_minhash_lsh_pairs": f"""
+with w as (select doc_id, {_WORDS} as words from documents),
+     sh as (select doc_id, {_SHINGLES} as shingles from w),
+     e as (select doc_id, unnest(shingles) as shingle from sh),
+     sigs as (select doc_id, {_sig_cols(8)} from e group by doc_id),
+     bands as (
+       select doc_id, 0 as band_no, md5(sig_0||'|'||sig_1) as bh from sigs
+       union all select doc_id, 1, md5(sig_2||'|'||sig_3) from sigs
+       union all select doc_id, 2, md5(sig_4||'|'||sig_5) from sigs
+       union all select doc_id, 3, md5(sig_6||'|'||sig_7) from sigs)
+select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
+from bands a join bands b on a.band_no = b.band_no and a.bh = b.bh and a.doc_id < b.doc_id
+group by 1, 2
+""",
+        "q33_ngram_jaccard": f"""
+with w as (select doc_id, {_WORDS} as words from documents),
+     sh as (select doc_id, {_SHINGLES} as shingles from w),
+     e as (select doc_id, unnest(shingles) as shingle from sh),
+     sizes as (select doc_id, count(*) as n_sh from e group by doc_id),
+     common as (
+       select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
+       from e a join e b on a.shingle = b.shingle and a.doc_id < b.doc_id
+       group by 1, 2)
+select id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common)::double, 6) as jaccard
+from common join sizes sa on sa.doc_id = id_a join sizes sb on sb.doc_id = id_b
+where round(n_common / (sa.n_sh + sb.n_sh - n_common)::double, 6) >= 0.3
+""",
+        "q34_simhash": _simhash_sql(32),
+        "q40_ann_topk_bruteforce": f"""
+select vec_id, {cos} as score from embeddings
+order by score desc, vec_id asc limit 10
+""",
+        "q41_ann_topk_lsh": f"""
+select vec_id, {cos} as score from embeddings
+where ({plane_bucket}) = {q_bucket}
+order by score desc, vec_id asc limit 10
+""",
+        "q42_pairwise_topk_per_label": """
+with e as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 120),
+     pairs as (
+       select a.label, a.vec_id as id_a, b.vec_id as id_b,
+              round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) as score
+       from e a join e b on a.label = b.label and a.vec_id < b.vec_id)
+select label, id_a, id_b, score, rn from (
+  select *, row_number() over (partition by label order by score desc, id_a asc, id_b asc) as rn
+  from pairs) t where rn <= 3
+""",
+    }

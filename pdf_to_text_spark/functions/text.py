@@ -86,7 +86,15 @@ def sentence_split(c: Column) -> Column:
     5_NLP/nlp/sentence_splitter.py:12-17). Returns array<string> with
     empties removed."""
     arr = F.split(c, r"(?<=[.!?])[ \t\n]+")
-    return F.filter(F.transform(arr, F.trim), lambda s: F.length(s) > 0)
+    return F.filter(F.transform(arr, lambda s: F.trim(s)), lambda s: F.length(s) > 0)
+
+
+def sentences_strict(c: Column) -> Column:
+    """M8 variant with an RE2-safe pattern (no lookbehind) so the
+    DuckDB oracle can run the identical regex: a sentence is a maximal
+    run of non-terminators followed by ≥1 terminator."""
+    arr = F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]+"), 0)
+    return F.filter(F.transform(arr, lambda s: F.trim(s)), lambda s: F.length(s) > 0)
 
 
 def token_count(c: Column) -> Column:

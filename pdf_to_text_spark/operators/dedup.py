@@ -1,0 +1,209 @@
+"""Deduplication operators for web-scale corpora (task brief):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Hash portability rule: every hash that must match the DuckDB oracle is
+``md5`` (identical hex output in Spark and DuckDB). At 100 TB the key
+scale properties are noted per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T  # noqa: F401
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min(id).
+
+    Scale: one shuffle on the 32-char digest (not the document body) —
+    project the digest FIRST so the shuffle moves ~32 bytes/row, not
+    the text. Output: (keep_id, n_dupes).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    words = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda w: F.length(w) > 0)
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig_k = min(md5(k || ':' || shingle)).
+
+    Seeded md5 family instead of the usual (a·x+b) mod p so the DuckDB
+    oracle reproduces signatures exactly. Scale: explode(shingles) →
+    single groupBy(id) with num_hashes min() partial aggregates —
+    map-side combine keeps the shuffle at one row per doc.
+    Output: (id, sig_0..sig_{k-1}).
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"sig_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs colliding on any full band are
+    candidates. Output: (id_a, id_b, n_bands) with id_a < id_b.
+
+    Scale: the join key is md5(band-concat) — a self-equi-join on a
+    short digest; band buckets with huge collision counts (boilerplate
+    pages) quadratically blow up, so production adds a bucket-size cap;
+    here AQE skew-join covers the test scales.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col(id_col), F.col("e.band_no"), F.col("e.bh"))
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+    Output: (id_a, id_b, jaccard) for pairs ≥ threshold.
+
+    Scale: the shingle self-join is the classic inverted-index pattern;
+    hot shingles (stopword runs) need a document-frequency cap upstream
+    in production. Jaccard uses |A∩B| from the join and |A|,|B| from a
+    broadcast side table of shingle counts.
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint per doc, portable construction:
+    per distinct word, h = first 8 hex chars of md5(word) as a 32-bit
+    int; bit-j balance = Σ over words of (bit_j(h) ? +1 : −1);
+    simhash bit j = 1 iff balance > 0. Output: (id, simhash:long).
+
+    Scale: explode(distinct words) → ONE hash aggregation with ``bits``
+    partial sums (map-side combine) → bit assembly in a projection.
+    Single traversal, no UDF; the shuffle carries one row per
+    (doc, word)."""
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: F.length(w) > 0)
+    )
+    exploded = df.select(F.col(id_col), F.explode(words).alias("w")).withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    )
+    balances = [
+        F.sum(
+            F.when(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*balances)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))

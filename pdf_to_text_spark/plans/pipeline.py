@@ -1,0 +1,171 @@
+"""The production extraction job (north rule, end-to-end).
+
+``run_extraction(spark, in_path, out_dir, ...)``:
+
+1. bucket every url deterministically: ``bucket = pmod(xxhash64(url), n_buckets)``
+   — the unit of commit, resume and output partitioning;
+2. **resume**: buckets listed in ``out_dir/_manifest`` are complete from
+   a previous run and are filtered out (partition pruning makes the
+   re-scan cheap; output is keyed by url so re-running is idempotent);
+3. **skew handling**: whale rows (html bytes above ``whale_bytes``) are
+   split off and repartitioned one-per-task, small rows get a salted
+   ``repartition(n, bucket, salt)`` — a single 200-page PDF never
+   serializes a whole task behind it (north rule skew clause);
+4. extraction (operators/extract.py — shuffle-free);
+5. write results parquet partitioned by bucket with dynamic partition
+   overwrite (re-runs replace exactly the buckets they recompute);
+6. **lineage**: per-output-partition metrics rows
+   ``(run_id, partition_id, doc_count, bytes_in, extract_ms)`` appended
+   to ``out_dir/metrics`` (north-star metrics table);
+7. **manifest**: after the write action succeeds, one JSON line per
+   completed bucket in ``out_dir/_manifest/`` — checkpointed
+   partition-completion (north rule), written only after commit so a
+   mid-job kill leaves the bucket uncommitted and it is redone whole.
+
+At 100 TB: n_buckets scales to ~#cores×4 of the cluster; everything
+here is per-bucket-parallel with exactly one shuffle (the explicit
+repartition), no driver-side collect of data rows (only the tiny
+per-bucket/metric aggregates, O(n_buckets)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators.extract import extract_documents
+
+DEFAULT_WHALE_BYTES = 1 << 20  # 1 MiB: above this a row is a "whale"
+
+
+def bucket_of(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def committed_buckets(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifest")
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("status") == "committed":
+                        done.add(int(rec["bucket"]))
+    return done
+
+
+def _write_manifest(out_dir: str, run_id: str, buckets: list[int]) -> None:
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"{run_id}.json")
+    tmp = path + ".tmp"
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(tmp, "w") as f:
+        for b in sorted(buckets):
+            f.write(
+                json.dumps(
+                    {"run_id": run_id, "bucket": b, "status": "committed", "committed_at": now}
+                )
+                + "\n"
+            )
+    os.replace(tmp, path)  # atomic: manifest appears whole or not at all
+
+
+def size_aware_repartition(
+    df: DataFrame,
+    n_partitions: int,
+    bytes_col: str = "html",
+    whale_bytes: int = DEFAULT_WHALE_BYTES,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """Salted repartition with whale isolation (SURVEY §7.1 M4).
+
+    Small rows: hash-shuffle on (bucketable key, salt) so many small
+    docs pack evenly. Whales: one row per task via round-robin
+    ``repartition()`` on a whale-only frame — AQE cannot split a
+    single oversized *row*, so we place whales explicitly.
+    """
+    is_whale = F.octet_length(bytes_col) > F.lit(whale_bytes)
+    salt = F.pmod(F.xxhash64("url", F.lit(0x5A17)), F.lit(salt_mod))
+    small = df.filter(~is_whale | is_whale.isNull()).repartition(
+        n_partitions, F.col("url"), salt
+    )
+    whales = df.filter(is_whale).repartition(max(2, n_partitions // 2))
+    return small.unionByName(whales)
+
+
+def run_extraction(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 64,
+    n_partitions: int | None = None,
+    whale_bytes: int = DEFAULT_WHALE_BYTES,
+    resume: bool = True,
+    threshold: int = 250,
+) -> dict:
+    """Run the extraction job; returns a small summary dict."""
+    run_id = uuid.uuid4().hex[:12]
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+
+    pages = spark.read.parquet(in_path)
+    pages = pages.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+
+    done = committed_buckets(out_dir) if resume else set()
+    all_buckets = set(range(n_buckets))
+    pending = sorted(all_buckets - done)
+    if not pending:
+        return {"run_id": run_id, "buckets_done": len(done), "buckets_run": 0, "rows": 0}
+    if done:
+        pages = pages.filter(F.col("bucket").isin(pending))
+
+    pages = size_aware_repartition(pages, n_partitions, whale_bytes=whale_bytes)
+
+    result = extract_documents(pages, threshold=threshold).withColumn(
+        "bucket", bucket_of(F.col("url"), n_buckets)
+    )
+
+    # one pass: write results AND collect per-partition lineage.
+    # spark_partition_id() is evaluated in the writing stage, so the
+    # metrics describe the actual physical partitions of the output.
+    with_pid = result.withColumn("partition_id", F.spark_partition_id())
+    with_pid.persist()
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            with_pid.drop("partition_id")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(out_dir, "extracted"))
+        )
+        metrics = (
+            with_pid.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("extract_ms").cast("long").alias("extract_ms"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .select("run_id", "partition_id", "doc_count", "bytes_in", "extract_ms")
+        )
+        metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        n_rows = with_pid.count()
+    finally:
+        with_pid.unpersist()
+
+    _write_manifest(out_dir, run_id, pending)
+    return {
+        "run_id": run_id,
+        "buckets_done": len(done),
+        "buckets_run": len(pending),
+        "rows": n_rows,
+    }

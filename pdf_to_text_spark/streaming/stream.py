@@ -1,0 +1,60 @@
+"""Structured Streaming surface (SURVEY §2.8 — optional extension).
+
+The reference is purely batch; the north rule's resume story is the
+manifest mechanism in plans/pipeline.py. This module adds the
+incremental-crawl capability: the SAME extraction operators run under
+``readStream`` with ``trigger(availableNow=True)`` — checkpointed,
+exactly-once per file, so a recurring crawl drop-off is picked up
+incrementally with zero code divergence from the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators.extract import extract_documents
+
+
+def run_incremental_extraction(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+) -> None:
+    """Process any parquet files in ``in_dir`` not yet seen by this
+    checkpoint, extract, append results. Returns after draining
+    (availableNow) — cron-friendly incremental batch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 64)
+        .load(in_dir)
+    )
+    extracted = extract_documents(stream)
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(events_df, window: str = "1 hour"):
+    """Tumbling event-time window aggregation (engine capability check
+    against the driver's ``events`` table; watermark applies only under
+    a streaming source)."""
+    return (
+        events_df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
