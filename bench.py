@@ -1,0 +1,110 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus extraction throughput fields (docs/sec over a cached deterministic
+pages corpus — the engine's true headline per BASELINE.json).
+
+Extra knobs (for bench_scaling.py): ``--cores N`` overrides the env,
+``--extraction-only`` times just the extraction pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+
+from pdf_to_text_spark.fixtures import write_corpus  # noqa: E402
+from pdf_to_text_spark.plans.pipeline import run_extraction  # noqa: E402
+from pdf_to_text_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_corpus(sf: float, seed: int = 42) -> tuple[str, int]:
+    """Deterministic cached pages corpus sized to the scale factor."""
+    rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", max(1200, int(240_000 * sf))))
+    d = f"/tmp/sg_bench_pages_r{rows}_s{seed}"
+    marker = os.path.join(d, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        write_corpus(d, rows, seed)
+        open(marker, "w").close()
+    return d, rows
+
+
+def time_extraction(spark, corpus_dir: str, rows: int) -> tuple[float, float]:
+    out = f"/tmp/sg_bench_out_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_extraction(spark, f"{corpus_dir}/pages.parquet", out, n_buckets=64, resume=False)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt, rows / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--extraction-only", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    corpus_dir, rows = bench_corpus(sf)
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+
+    timings: dict[str, float] = {}
+
+    # headline: the extraction pipeline (docs/sec is the north-star metric)
+    ext_sec, docs_per_sec = time_extraction(spark, corpus_dir, rows)
+    timings["extraction_pipeline"] = round(ext_sec, 3)
+
+    if not args.extraction_only:
+        for name, fn in E.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize fully
+            timings[name] = round(time.perf_counter() - t0, 3)
+            _ = n
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+                "extraction_rows": rows,
+                "extraction_docs_per_sec": round(docs_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -82,17 +82,28 @@ def html_main_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"content": out, "ms": ms_out})
 
 
+def _is_empty(html: Column) -> Column:
+    return html.isNull() | (F.octet_length(html) == 0)
+
+
+def _is_pdf_magic(html: Column) -> Column:
+    return F.substring(html, 1, 5) == F.lit(b"%PDF-")
+
+
+def _is_html_magic(html: Column) -> Column:
+    prefix = F.decode(F.substring(html, 1, _SNIFF_WINDOW), "ISO-8859-1")
+    return F.substring(F.regexp_replace(prefix, f"^[{WS_A}]+", ""), 1, 1) == "<"
+
+
 def sniff_route(html: Column, text: Column, threshold: int = 250) -> Column:
     """P3 routing ladder, pure Catalyst. Order is frozen spec:
     text-layer fast path → empty guard → %PDF- magic → '<' within a
     32-byte lstripped window → error."""
-    prefix = F.decode(F.substring(html, 1, _SNIFF_WINDOW), "ISO-8859-1")
-    first = F.substring(F.regexp_replace(prefix, f"^[{WS_A}]+", ""), 1, 1)
     return (
         F.when(text_layer_sufficient(text, threshold), ROUTE_TEXT)
-        .when(html.isNull() | (F.octet_length(html) == 0), ROUTE_ERROR)
-        .when(F.substring(html, 1, 5) == F.lit(b"%PDF-"), ROUTE_PDF)
-        .when(first == "<", ROUTE_HTML)
+        .when(_is_empty(html), ROUTE_ERROR)
+        .when(_is_pdf_magic(html), ROUTE_PDF)
+        .when(_is_html_magic(html), ROUTE_HTML)
         .otherwise(ROUTE_ERROR)
     )
 
@@ -108,24 +119,30 @@ def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
     route, bytes_in, extract_ms).
 
     Branch-filtered sub-frames + ``unionByName`` so each UDF only sees
-    its own rows (SURVEY §4.1: the reference's cost-based routing) —
-    and the text-layer branch never materializes the ``html`` binary
-    column at all (column pruning reaches the parquet scan).
+    its own rows (SURVEY §4.1: the reference's cost-based routing).
+    The branch predicates are spelled out (not ``route == x`` over the
+    when-ladder) so Catalyst prunes ``html`` entirely from the
+    text-layer branch's parquet scan — verified via ReadSchema in
+    tests/test_plans.py.
     """
-    routed = pages_df.withColumn("route", sniff_route(F.col("html"), F.col("text"), threshold))
+    suff = text_layer_sufficient(F.col("text"), threshold)
+    empty = _is_empty(F.col("html"))
+    pdfm = _is_pdf_magic(F.col("html"))
+    htmlm = _is_html_magic(F.col("html"))
+    routed = pages_df
     bytes_in = F.coalesce(F.octet_length("html"), F.lit(0)).alias("bytes_in")
 
-    text_b = routed.filter(F.col("route") == ROUTE_TEXT).select(
+    text_b = routed.filter(suff).select(
         "url",
         normalize_extracted(F.col("text")).alias("extracted_text"),
         F.lit(None).cast("string").alias("error"),
-        "route",
-        bytes_in,
+        F.lit(ROUTE_TEXT).alias("route"),
+        F.lit(0).alias("bytes_in"),  # html never read on the fast path
         F.lit(0.0).alias("extract_ms"),
     )
 
     pdf_b = (
-        routed.filter(F.col("route") == ROUTE_PDF)
+        routed.filter(~suff & ~empty & pdfm)
         .withColumn("r", pdf_pages_udf("html"))
         .select(
             "url",
@@ -134,32 +151,30 @@ def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
             .alias("extracted_text"),
             F.when(F.col("r.error").isNotNull(), F.concat(F.lit("pdf:"), F.col("r.error")))
             .alias("error"),
-            "route",
+            F.lit(ROUTE_PDF).alias("route"),
             bytes_in,
             F.col("r.ms").alias("extract_ms"),
         )
     )
 
     html_b = (
-        routed.filter(F.col("route") == ROUTE_HTML)
+        routed.filter(~suff & ~empty & ~pdfm & htmlm)
         .withColumn("r", html_main_udf("html"))
         .select(
             "url",
             normalize_extracted(F.col("r.content")).alias("extracted_text"),
             F.lit(None).cast("string").alias("error"),
-            "route",
+            F.lit(ROUTE_HTML).alias("route"),
             bytes_in,
             F.col("r.ms").alias("extract_ms"),
         )
     )
 
-    err_b = routed.filter(F.col("route") == ROUTE_ERROR).select(
+    err_b = routed.filter(~suff & (empty | (~pdfm & ~htmlm))).select(
         "url",
         F.lit(None).cast("string").alias("extracted_text"),
-        F.when(F.col("html").isNull() | (F.octet_length("html") == 0), "empty_payload")
-        .otherwise("unknown_format")
-        .alias("error"),
-        "route",
+        F.when(empty, "empty_payload").otherwise("unknown_format").alias("error"),
+        F.lit(ROUTE_ERROR).alias("route"),
         bytes_in,
         F.lit(0.0).alias("extract_ms"),
     )

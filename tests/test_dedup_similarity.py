@@ -1,0 +1,89 @@
+"""Dedup + similarity operator semantics (known-answer tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators import dedup as D
+from pdf_to_text_spark.operators import similarity as S
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup
+    (4, "completely different content about spark partitions and shuffle behavior"),
+    (5, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r["keep_id"]: r["n_dupes"] for r in D.exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # doc 2 collapsed into doc 1
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_identical_signatures_for_dups(spark):
+    sigs = {r["doc_id"]: tuple(r[f"sig_{k}"] for k in range(8)) for r in
+            D.minhash_signatures(_docs(spark), num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]  # exact dups → identical signatures
+    assert sigs[1] != sigs[4]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert shared >= 4
+
+
+def test_lsh_finds_dup_pair(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands"] for r in
+             D.minhash_lsh_pairs(_docs(spark), num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 4  # all bands collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_table(_docs(spark)).collect()}
+    assert sh[1] == sh[2]
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["score"] == 1.0
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[1.0, -1.0, 1.0, -1.0], [1.0, 1.0, -1.0, -1.0]]
+    q = [1.0, 0.5, -0.5, -1.0]
+    brute = {r["vec_id"]: r["score"] for r in S.brute_force_topk(df, q, k=30).collect()}
+    lsh = S.lsh_topk(df, q, planes, k=30).collect()
+    assert len(lsh) > 0
+    for r in lsh:  # scores must agree with the exact computation
+        assert abs(brute[r["vec_id"]] - r["score"]) < 1e-9
+
+
+def test_pairwise_topk_per_label(spark):
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.01]), (3, 0, [0.0, 1.0]), (4, 1, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = S.pairwise_topk_per_label(df, k=1).collect()
+    by_label = {r["label"]: (r["id_a"], r["id_b"]) for r in got}
+    assert by_label[0] == (1, 2)  # the near-identical pair ranks first
+    assert 1 not in by_label or by_label.get(1) is None or True  # label 1 has no pair
+    assert len([r for r in got if r["label"] == 1]) == 0

@@ -1,0 +1,71 @@
+"""Multimodal plumbing + incremental streaming extraction."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators.multimodal import decode_image_meta, frame_sample_stub
+
+
+def _png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def test_decode_image_meta(spark):
+    rows = [
+        (1, _png(640, 480)),
+        (2, b"\xff\xd8\xff\xe0 fake jpeg body"),
+        (3, b"garbage bytes here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r.asDict() for r in decode_image_meta(df).collect()}
+    assert got[1]["kind"] == "png" and (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[2]["kind"] == "jpeg" and got[2]["width"] > 0  # deterministic fake
+    assert got[3]["kind"] == "unknown"
+    assert got[4]["n_bytes"] == 0
+    # determinism of the fake decoder
+    again = {r["media_id"]: r.asDict() for r in decode_image_meta(df).collect()}
+    assert again == got
+
+
+def test_frame_sample_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(None)
+
+
+def test_incremental_streaming_extraction(spark, corpus_dir, golden_extracted, tmp_path):
+    """availableNow streaming over the pages dir must equal the batch
+    result, and a second drop of files is picked up incrementally."""
+    from pdf_to_text_spark.streaming.stream import run_incremental_extraction
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    a, b = pages.randomSplit([0.5, 0.5], seed=1)
+    a.write.mode("overwrite").parquet(in_dir)
+
+    run_incremental_extraction(spark, in_dir, out_dir, ck)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == a.count()
+
+    # drop more files → only the new ones are processed
+    b.write.mode("append").parquet(in_dir)
+    run_incremental_extraction(spark, in_dir, out_dir, ck)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == pages.count()
+
+    j = got.alias("g").join(golden_extracted.alias("o"), "url", "inner")
+    assert j.filter(~F.col("g.extracted_text").eqNullSafe(F.col("o.extracted_text"))).count() == 0
