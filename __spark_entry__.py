@@ -272,6 +272,58 @@ def _q42_pairwise_label(spark, sf):
     return S.pairwise_topk_per_label(e, k=3)
 
 
+def _q43_centrality_topk(spark, sf):
+    """Extractive-summarizer analog (SURVEY J1/O3/M9): per label,
+    centrality = Σ cosine to the other members; top-3 most central."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 120)
+    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    pairs = a.join(b, ["label"]).filter(F.col("id_a") != F.col("id_b"))
+    cent = pairs.groupBy("label", "id_a").agg(
+        F.round(F.sum(S.cosine(F.col("va"), F.col("vb"))), 6).alias("centrality")
+    )
+    w = W.partitionBy("label").orderBy(F.desc("centrality"), F.asc("id_a"))
+    return (
+        cent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", F.col("id_a").alias("vec_id"), "centrality", "rn")
+    )
+
+
+def _q44_stopword_removal(spark, sf):
+    from pdf_to_text_spark.functions.udfs import remove_stopwords
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", remove_stopwords(F.col("text")).alias("kept"))
+
+
+def _q22_blueprint(spark, sf):
+    """Deterministic restructure (M7/M10 analog): synthesize markdown
+    from each doc (heading + bullet per sentence), build the blueprint
+    struct, explode to (doc_id, slide_no, title, n_points). Rows-only
+    check: from_json/to_json structs are not portably SQL-expressible."""
+    from pdf_to_text_spark.operators.blueprint import text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    md = F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
+    )
+    bp = d.select("doc_id", F.posexplode(text_to_blueprint(md)).alias("slide_no", "slide"))
+    return bp.select(
+        "doc_id", "slide_no", F.col("slide.title").alias("title"),
+        F.size("slide.content").alias("n_points"),
+    )
+
+
+def _q45_nfkc(spark, sf):
+    """F4 NFKC+lower (Arrow pandas UDF; no DuckDB NFKC → rows-only)."""
+    from pdf_to_text_spark.functions.udfs import nfkc_lower
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", nfkc_lower(F.col("text")).alias("norm"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -299,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ann_topk_bruteforce": _q40_ann_bruteforce,
         "q41_ann_topk_lsh": _q41_ann_lsh,
         "q42_pairwise_topk_per_label": _q42_pairwise_label,
+        "q43_centrality_topk": _q43_centrality_topk,
+        "q44_stopword_removal": _q44_stopword_removal,
+        "q22_blueprint_explode": _q22_blueprint,
+        "q45_nfkc_lower": _q45_nfkc,
     }
 
 
@@ -555,6 +611,24 @@ order by score desc, vec_id asc limit 10
 select vec_id, {cos} as score from embeddings
 where ({plane_bucket}) = {q_bucket}
 order by score desc, vec_id asc limit 10
+""",
+        "q43_centrality_topk": """
+with e as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 120),
+     pairs as (
+       select a.label, a.vec_id as id_a,
+              list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) as c
+       from e a join e b on a.label = b.label and a.vec_id != b.vec_id),
+     cent as (select label, id_a, round(sum(c), 6) as centrality from pairs group by 1, 2)
+select label, id_a as vec_id, centrality, rn from (
+  select *, row_number() over (partition by label order by centrality desc, id_a asc) as rn
+  from cent) t where rn <= 3
+""",
+        "q44_stopword_removal": f"""
+select doc_id,
+  array_to_string(list_filter(list_filter(regexp_split_to_array(text, '[ ]+'), w -> length(w) > 0),
+                  w -> not list_contains({_STOPLIST}, lower(w))), ' ') as kept
+from documents
 """,
         "q42_pairwise_topk_per_label": """
 with e as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 120),

@@ -52,11 +52,17 @@ def bench_corpus(sf: float, seed: int = 42) -> tuple[str, int]:
 
 
 def time_extraction(spark, corpus_dir: str, rows: int) -> tuple[float, float]:
+    """Steady-state throughput: one untimed warmup run (JVM codegen,
+    python-worker fork, shuffle service, output committer all warm),
+    then the timed run. Cold-start costs are per-process constants that
+    a real cluster amortizes over hours — including them would measure
+    JVM startup, not the engine."""
     out = f"/tmp/sg_bench_out_{os.getpid()}"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.perf_counter()
-    run_extraction(spark, f"{corpus_dir}/pages.parquet", out, n_buckets=64, resume=False)
-    dt = time.perf_counter() - t0
+    for timed in (False, True):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_extraction(spark, f"{corpus_dir}/pages.parquet", out, n_buckets=64, resume=False)
+        dt = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     return dt, rows / dt
 

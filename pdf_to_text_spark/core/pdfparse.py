@@ -102,8 +102,17 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+_NAME_RE = re.compile(rb"/[^\s()<>\[\]/]*")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_WS_BYTES = frozenset(b" \t\r\n\f\x00")
+
+
 def _tokenize(content: bytes):
-    """Yield ('str', s) | ('num', f) | ('name', b) | ('op', b) | ('arr', list)."""
+    """Yield ('str', s) | ('num', f) | ('name', b) | ('op', b) | ('arr', list).
+
+    Positional matching throughout (no ``content[i:]`` slices) — the
+    tokenizer must stay O(n) on multi-MB whale content streams."""
     i, n = 0, len(content)
     arr_stack: list[list] = []
 
@@ -114,10 +123,10 @@ def _tokenize(content: bytes):
         return tok
 
     while i < n:
-        c = content[i : i + 1]
-        if c.isspace():
+        if content[i] in _WS_BYTES:
             i += 1
             continue
+        c = content[i : i + 1]
         if c == b"(":
             depth, j, buf = 1, i + 1, bytearray()
             while j < n and depth:
@@ -149,26 +158,26 @@ def _tokenize(content: bytes):
                 yield tok
             i += 1
         elif c == b"/":
-            m = re.match(rb"/[^\s()<>\[\]/]*", content[i:])
+            m = _NAME_RE.match(content, i)
             tok = emit(("name", m.group(0)))
             if tok:
                 yield tok
-            i += len(m.group(0))
+            i = m.end()
         else:
-            m = re.match(rb"[-+]?\d*\.?\d+", content[i:])
+            m = _NUM_RE.match(content, i)
             if m and m.group(0):
                 tok = emit(("num", float(m.group(0))))
                 if tok:
                     yield tok
-                i += len(m.group(0))
+                i = m.end()
             else:
-                m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+                m = _OP_RE.match(content, i)
                 if not m:
                     raise PdfError(f"bad content token at {i}")
                 tok = emit(("op", m.group(0)))
                 if tok:
                     yield tok
-                i += len(m.group(0))
+                i = m.end()
 
 
 def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:

@@ -77,14 +77,17 @@ def _make_pdf(rng: random.Random, cls: str) -> bytes:
             for _ in range(rng.randint(120, 180))
         ]
         return build_pdf(pages, flate=True)
-    n_pages = rng.randint(2, 5)
+    # page/line counts sized so a row is tens of KB — representative of
+    # real crawl documents (CommonCrawl mean ~100 KB/page), which keeps
+    # the benchmark compute-bound rather than overhead-bound
+    n_pages = rng.randint(4, 10)
     styles = {
         "pdf_digital": ["td", "tm", "tstar"],
         "pdf_flate": ["td", "tj_array"],
         "pdf_shuffled_ops": ["shuffled"],
     }[cls]
     pages = [
-        page_content_stream(_pdf_lines(rng, rng.randint(10, 25)), style=rng.choice(styles))
+        page_content_stream(_pdf_lines(rng, rng.randint(25, 45)), style=rng.choice(styles))
         for _ in range(n_pages)
     ]
     return build_pdf(pages, flate=(cls == "pdf_flate"))
@@ -118,7 +121,9 @@ def _make_html(rng: random.Random, cls: str) -> str:
         )
         body = nav + f"<main>{art}</main>" + side + footer
     else:  # html_article / html_article_textlayer
-        paras = "".join(f"<p>{_para(rng, rng.randint(2, 5))}</p>" for _ in range(rng.randint(3, 7)))
+        paras = "".join(
+            f"<p>{_para(rng, rng.randint(3, 7))}</p>" for _ in range(rng.randint(15, 40))
+        )
         art = f"<h2>{_sentence(rng, 4)[:-1]}</h2>{paras}"
         body = nav + f"<article>{art}</article>" + side + footer
     return f"<!DOCTYPE html>\n<html>{head}<body>{body}</body></html>"

@@ -1,0 +1,84 @@
+"""Slide-blueprint operators — the deterministic replacement for the
+reference's LLM restructuring (SURVEY M7/M10/F9/F13/O4).
+
+The reference turns cleaned text into a schema-enforced JSON blueprint
+``array<struct<title:string, content:array<string>>>``
+(``core_document_generator.py:237-255``) via a Gemini call, then splits
+slides on markdown headings (``core_document_processing.py:310-312``)
+and pages long slides at 12 lines (``ppt_formation.py:95-108``). Here
+the same structures are produced deterministically with Catalyst ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+# the reference's response_schema (core_document_generator.py:239-254)
+BLUEPRINT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("content", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+
+
+def split_on_headings(c: Column) -> Column:
+    """M10 variant 3: split text into sections at markdown headings —
+    the reference uses ``re.split(r'(?=\\n#+\\s)')``; lookahead-free
+    equivalent: inject a sentinel before each heading, then split."""
+    marked = F.regexp_replace(c, r"\n(#+[ ])", "\x01$1")
+    return F.filter(F.split(marked, "\x01"), lambda s: F.length(F.trim(s)) > 0)
+
+
+def section_to_slide(section: Column) -> Column:
+    """One section → struct(title, content): first line (heading hashes
+    stripped) is the title, remaining non-empty lines are bullets."""
+    lines = F.filter(
+        F.transform(F.split(section, "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    title = F.regexp_replace(F.element_at(lines, 1), r"^#+[ ]", "")
+    body = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+    content = F.transform(body, lambda s: F.regexp_replace(s, r"^[*•\-][ ]", ""))
+    return F.struct(title.alias("title"), content.alias("content"))
+
+
+def text_to_blueprint(c: Column) -> Column:
+    """Full deterministic restructure: text → blueprint array."""
+    return F.transform(split_on_headings(c), section_to_slide)
+
+
+def blueprint_json_roundtrip(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """F13: blueprint → JSON string → parsed struct (the reference's
+    materialized IR is the JSON string; user edits re-enter via parse,
+    ui.py:180-187). Emits both for round-trip testing."""
+    bp = text_to_blueprint(F.col(text_col))
+    return df.select(
+        "*",
+        F.to_json(bp).alias("blueprint_json"),
+        F.from_json(F.to_json(bp), BLUEPRINT_SCHEMA).alias("blueprint"),
+    )
+
+
+def paginate_slides(df: DataFrame, id_col: str, line_col: str, max_lines: int = 12) -> DataFrame:
+    """A7: accumulate lines, flush every ``max_lines`` (12/slide in
+    ppt_formation.py:98) — window row_number → page group."""
+    w = W.partitionBy(id_col).orderBy(line_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("slide_no", (F.col("rn") / max_lines).cast("long"))
+        .drop("rn")
+    )
+
+
+def first_slide_is_title(df: DataFrame, id_col: str, slide_no_col: str = "slide_no") -> DataFrame:
+    """O4: slide 0 uses the title layout, the rest content layout
+    (core_document_processing.py:314-326)."""
+    return df.withColumn(
+        "layout", F.when(F.col(slide_no_col) == 0, "title").otherwise("content")
+    )

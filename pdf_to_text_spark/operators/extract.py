@@ -182,6 +182,89 @@ def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
     return text_b.unionByName(pdf_b).unionByName(html_b).unionByName(err_b)
 
 
+PAGE_SEP = "\x02"  # internal page sentinel (never occurs in document text)
+
+_FUSED_RESULT = T.StructType(
+    [
+        T.StructField("raw", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("route", T.StringType()),
+        T.StructField("ms", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_FUSED_RESULT)
+def parse_any_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Single-pass routed parse (SURVEY §7.2 decision record: adopted
+    after profiling showed the 4-branch union re-reading the shuffled
+    input 4×). Routing logic is the same frozen spec as ``sniff_route``;
+    PDF pages are joined on PAGE_SEP so normalization can stay Catalyst."""
+    from pdf_to_text_spark.core.textnorm import text_layer_sufficient as _suff
+
+    raws, errs, routes, mss = [], [], [], []
+    for h, t in zip(html, text):
+        t0 = time.perf_counter()
+        raw = err = None
+        if _suff(t):
+            raw, route = t, ROUTE_TEXT
+        else:
+            data = bytes(h) if h is not None else b""
+            if not data:
+                err, route = "empty_payload", ROUTE_ERROR
+            elif data.startswith(b"%PDF-"):
+                route = ROUTE_PDF
+                try:
+                    raw = PAGE_SEP.join(extract_pdf_pages(data))
+                except PdfError as e:
+                    err = f"pdf:{e}"
+            elif data[:32].lstrip()[:1] == b"<":
+                raw, route = extract_main_content_bytes(data), ROUTE_HTML
+            else:
+                err, route = "unknown_format", ROUTE_ERROR
+        raws.append(raw)
+        errs.append(err)
+        routes.append(route)
+        mss.append((time.perf_counter() - t0) * 1000.0)
+    return pd.DataFrame({"raw": raws, "error": errs, "route": routes, "ms": mss})
+
+
+def extract_documents_fused(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
+    """Fused single-UDF-stage variant of ``extract_documents`` — same
+    output, byte-identical (tests pin equality to the goldens).
+
+    Tradeoff vs the branch-filtered variant: one pass over the shuffled
+    input (4× less shuffle read, 4× fewer tasks) but the ``html`` column
+    is read for every row — on tables where most rows take the
+    text-layer fast path, prefer ``extract_documents`` (column pruning);
+    on parse-heavy crawl tables this one wins. ``threshold`` is fixed at
+    250 here (the frozen spec) — the pure-Python router has it baked in.
+    """
+    if threshold != 250:
+        raise ValueError("fused variant pins the frozen-spec threshold (250)")
+    parsed = pages_df.withColumn("r", parse_any_udf("html", "text"))
+    r = F.col("r")
+    pages_arr = F.split(r["raw"], PAGE_SEP)
+    pdf_doc = normalize_extracted(
+        F.array_join(F.transform(pages_arr, lambda p: normalize_extracted(p)), "\n\n")
+    )
+    extracted = (
+        F.when(r["error"].isNotNull() | (r["route"] == ROUTE_ERROR), F.lit(None).cast("string"))
+        .when(r["route"] == ROUTE_PDF, pdf_doc)
+        .otherwise(normalize_extracted(r["raw"]))
+    )
+    return parsed.select(
+        "url",
+        extracted.alias("extracted_text"),
+        r["error"].alias("error"),
+        r["route"].alias("route"),
+        F.when(r["route"] == ROUTE_TEXT, F.lit(0))
+        .otherwise(F.coalesce(F.octet_length("html"), F.lit(0)))
+        .alias("bytes_in"),
+        r["ms"].alias("extract_ms"),
+    )
+
+
 def extract_pdf_page_table(pages_df: DataFrame) -> DataFrame:
     """Per-page table for the PDF branch: (url, page_num, page_text) —
     the golden_pages contract (analog of the reference's per-page

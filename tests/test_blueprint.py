@@ -1,0 +1,79 @@
+"""Blueprint (deterministic restructure) + sources + UDF-surface tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.functions.udfs import nfkc_lower, remove_stopwords
+from pdf_to_text_spark.operators.blueprint import (
+    blueprint_json_roundtrip,
+    first_slide_is_title,
+    paginate_slides,
+    text_to_blueprint,
+)
+
+MD = """# Intro
+- point one
+- point two
+
+## Details
+* alpha
+beta line
+
+## Empty Section Tail
+"""
+
+
+def test_text_to_blueprint(spark):
+    df = spark.createDataFrame([(MD,)], "text string")
+    bp = df.select(text_to_blueprint(F.col("text")).alias("bp")).collect()[0]["bp"]
+    assert [s["title"] for s in bp] == ["Intro", "Details", "Empty Section Tail"]
+    assert bp[0]["content"] == ["point one", "point two"]
+    assert bp[1]["content"] == ["alpha", "beta line"]
+    assert bp[2]["content"] == []
+
+
+def test_blueprint_json_roundtrip(spark):
+    df = spark.createDataFrame([(MD,)], "text string")
+    row = blueprint_json_roundtrip(df).collect()[0]
+    assert row["blueprint"][0]["title"] == "Intro"
+    assert '"title":"Intro"' in row["blueprint_json"]
+
+
+def test_paginate_and_title_layout(spark):
+    rows = [("d", i, f"line{i:02d}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc string, line_no int, line string")
+    out = first_slide_is_title(paginate_slides(df, "doc", "line_no", max_lines=12), "doc")
+    got = {(r["line_no"]): (r["slide_no"], r["layout"]) for r in out.collect()}
+    assert got[0] == (0, "title") and got[11] == (0, "title")
+    assert got[12] == (1, "content") and got[29] == (2, "content")
+
+
+def test_nfkc_lower_udf(spark):
+    df = spark.createDataFrame([("Ｆｕｌｌｗｉｄｔｈ ＴＥＸＴ ﬁne",), (None,)], "s string")
+    got = [r[0] for r in df.select(nfkc_lower(F.col("s")).alias("o")).collect()]
+    assert got[0] == "fullwidth text fine"
+    assert got[1] is None
+
+
+def test_remove_stopwords(spark):
+    df = spark.createDataFrame([("the quick fox and the dog",)], "s string")
+    got = df.select(remove_stopwords(F.col("s")).alias("o")).collect()[0][0]
+    assert got == "quick fox dog"
+
+
+def test_scan_document_dir(spark, tmp_path):
+    from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+    from pdf_to_text_spark.operators.extract import extract_documents
+    from pdf_to_text_spark.sources.ingest import scan_document_dir
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.pdf").write_bytes(build_pdf([page_content_stream(["hello pdf"])]))
+    (tmp_path / "sub" / "b.html").write_text(
+        "<html><body><p>a sufficiently long html paragraph for keeping</p></body></html>"
+    )
+    (tmp_path / "skip.txt").write_text("not scanned")
+    pages = scan_document_dir(spark, str(tmp_path))
+    assert pages.count() == 2
+    out = {r["route"] for r in extract_documents(pages).collect()}
+    assert out == {"pdf", "html"}
