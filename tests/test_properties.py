@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the frozen spec invariants
+(SURVEY §5.2.4) — pure Python, no Spark session needed."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+from pdf_to_text_spark.core.pdfparse import extract_pdf_pages
+from pdf_to_text_spark.core.textnorm import (
+    charset_clean,
+    deep_clean,
+    meaningful_len,
+    normalize_extracted,
+)
+
+text_strategy = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "S", "Z", "Cc")
+    ),
+    max_size=400,
+)
+
+# printable-latin1 minus ()\ so the PDF writer round-trips exactly
+pdf_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="()\\"),
+    min_size=0,
+    max_size=60,
+).map(lambda s: s.strip())
+
+
+@given(text_strategy)
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_extracted(s)
+    assert normalize_extracted(once) == once
+
+
+@given(text_strategy)
+@settings(max_examples=300, deadline=None)
+def test_normalize_output_invariants(s):
+    out = normalize_extracted(s)
+    assert not out.startswith((" ", "\n", "\t"))
+    assert not out.endswith((" ", "\n", "\t"))
+    assert "\n\n\n" not in out
+    assert "  " not in out.replace("\n", " x ")  # no double horizontal spaces
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_deep_clean_idempotent_and_ascii(s):
+    once = deep_clean(s)
+    assert deep_clean(once) == once
+    assert all(ord(c) < 128 for c in once)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_meaningful_len_bounds(s):
+    m = meaningful_len(s)
+    assert 0 <= m <= len(s)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_charset_clean_charset(s):
+    import re
+
+    out = charset_clean(s)
+    assert re.fullmatch(r"[A-Za-z0-9.,!?;:'\"\- \t\n\r\f\x0b\xa0]*", out) or out == ""
+
+
+@given(st.lists(pdf_line, min_size=1, max_size=12), st.sampled_from(["td", "tm", "tstar", "shuffled"]))
+@settings(max_examples=150, deadline=None)
+def test_pdf_roundtrip_property(lines, style):
+    """Any printable page round-trips bytes→parse→same lines."""
+    pdf = build_pdf([page_content_stream(lines, style=style)])
+    got = extract_pdf_pages(pdf)
+    # empty lines at y-collisions merge; compare against the writer's
+    # own contract: non-empty lines in order
+    expected = "\n".join(lines)
+    assert got == [expected]
