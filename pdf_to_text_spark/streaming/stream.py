@@ -44,6 +44,52 @@ def run_incremental_extraction(
     q.awaitTermination()
 
 
+def stream_dedup_urls(
+    pages_stream,
+    key_col: str = "url",
+):
+    """Custom stateful operator (task brief: applyInPandasWithState):
+    exactly-once url dedup ACROSS micro-batches — a recurring crawl
+    drop-off often re-ships documents; state remembers seen keys per
+    hash-group and emits each url's row only the first time.
+
+    State layout: one row-group per ``pmod(xxhash64(url), 1024)`` so
+    state is bounded per key-group and shuffles hash-evenly. At 10^12
+    docs the state store backs onto RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``); the operator
+    code is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup_group(key, pdfs, state: GroupState):
+        seen = set(state.get[0].split("\x00")) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            fresh = pdf[~pdf[key_col].isin(seen)]
+            fresh = fresh.drop_duplicates(subset=[key_col])
+            seen.update(fresh[key_col].tolist())
+            out.append(fresh)
+        state.update(("\x00".join(sorted(seen)),))
+        result = pd.concat(out) if out else pd.DataFrame()
+        yield result.drop(columns=["_grp"])
+
+    with_grp = pages_stream.withColumn(
+        "_grp", F.pmod(F.xxhash64(key_col), F.lit(1024)).cast("int")
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pages_stream.schema.fields
+    )
+    return with_grp.groupBy("_grp").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType="seen string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(events_df, window: str = "1 hour"):
     """Tumbling event-time window aggregation (engine capability check
     against the driver's ``events`` table; watermark applies only under
