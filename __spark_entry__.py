@@ -124,6 +124,38 @@ def _q05_set_ops(spark, sf):
     return both.unionByName(only_click)
 
 
+def _q06_sessionize(spark, sf):
+    """Sessionization: a new session starts after a >30 min gap —
+    lag window + running sum (classic event-stream shape)."""
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds on both engines (unix_micros / epoch_us);
+    # seconds-cast would truncate in Spark but keep fractions in DuckDB
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is NTZ; session tz is UTC
+    gap = us - F.lag(us).over(w)
+    with_new = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sess = with_new.withColumn(
+        "session_no", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def _q07_pivot_status(spark, sf):
+    """Pivot orders: order count per priority × status (manual CASE
+    pivot so the DuckDB twin is portable)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
 def _q10_meaningful_len(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", X.meaningful_len(F.col("text")).alias("mlen"))
@@ -331,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_top_orders_per_customer": _q03_top_orders,
         "q04_events_hourly": _q04_events_hourly,
         "q05_set_ops": _q05_set_ops,
+        "q06_sessionize": _q06_sessionize,
+        "q07_pivot_status": _q07_pivot_status,
         "q10_meaningful_len": _q10_meaningful_len,
         "q11_charset_clean": _q11_charset_clean,
         "q12_deep_clean": _q12_deep_clean,
@@ -466,6 +500,28 @@ select 'both' as grp, count(*) as n from (select user_id from clickers intersect
 union all
 select 'click_only' as grp, count(*) as n from (
   select distinct user_id from clickers except select distinct user_id from erring)
+""",
+        "q06_sessionize": """
+with g as (
+  select user_id, event_id, ts, value,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) > 1800 * 1000000
+              or lag(ts) over (partition by user_id order by ts, event_id) is null
+              then 1 else 0 end as new_s
+  from events),
+s as (
+  select user_id, value,
+         sum(new_s) over (partition by user_id order by ts, event_id
+                          rows between unbounded preceding and current row) as session_no
+  from g)
+select user_id, session_no, count(*) as n_events, round(sum(value), 4) as session_value
+from s group by 1, 2
+""",
+        "q07_pivot_status": """
+select o_orderpriority,
+       sum(case when o_orderstatus = 'F' then 1 else 0 end) as n_f,
+       sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_o,
+       sum(case when o_orderstatus = 'P' then 1 else 0 end) as n_p
+from orders group by 1
 """,
         "q10_meaningful_len": f"""
 select doc_id, length(regexp_replace(text, '{_CLS}+', '', 'g')) as mlen from documents

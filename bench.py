@@ -51,26 +51,31 @@ def bench_corpus(sf: float, seed: int = 42) -> tuple[str, int]:
     return d, rows
 
 
-def time_extraction(spark, corpus_dir: str, rows: int) -> tuple[float, float]:
+def time_extraction(spark, corpus_dir: str, rows: int, repeats: int = 1) -> tuple[float, float]:
     """Steady-state throughput: one untimed warmup run (JVM codegen,
     python-worker fork, shuffle service, output committer all warm),
-    then the timed run. Cold-start costs are per-process constants that
-    a real cluster amortizes over hours — including them would measure
-    JVM startup, not the engine."""
+    then ``repeats`` timed runs — best (min) wins, which filters
+    noisy-neighbor interference on the shared sandbox host. Cold-start
+    costs are per-process constants that a real cluster amortizes over
+    hours — including them would measure JVM startup, not the engine."""
     out = f"/tmp/sg_bench_out_{os.getpid()}"
-    for timed in (False, True):
+    best = float("inf")
+    for i in range(repeats + 1):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         run_extraction(spark, f"{corpus_dir}/pages.parquet", out, n_buckets=64, resume=False)
         dt = time.perf_counter() - t0
+        if i > 0:  # run 0 is the untimed warmup
+            best = min(best, dt)
     shutil.rmtree(out, ignore_errors=True)
-    return dt, rows / dt
+    return best, rows / best
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--extraction-only", action="store_true")
+    ap.add_argument("--extraction-repeats", type=int, default=1)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,7 +88,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # headline: the extraction pipeline (docs/sec is the north-star metric)
-    ext_sec, docs_per_sec = time_extraction(spark, corpus_dir, rows)
+    ext_sec, docs_per_sec = time_extraction(spark, corpus_dir, rows, args.extraction_repeats)
     timings["extraction_pipeline"] = round(ext_sec, 3)
 
     if not args.extraction_only:

@@ -28,12 +28,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "115200"))
 
 
-def run_once(cores: int) -> dict:
+def run_once(cores: int, timed_repeats: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env["SPARK_GRAFT_PAGES_ROWS"] = str(SCALING_ROWS)
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores), "--extraction-only"],
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
+         "--extraction-only", "--extraction-repeats", str(timed_repeats)],
         capture_output=True,
         text=True,
         env=env,
@@ -65,10 +66,12 @@ def main() -> None:
 
     bench_corpus(_sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
 
+    # one JVM per level, `repeats` timed runs inside it (best-of inside
+    # bench.py filters noisy-neighbor interference without paying a
+    # warmup per sample)
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
-    for _ in range(args.repeats):
-        for cores in (args.low, args.high):
-            results[cores].append(run_once(cores))
+    for cores in (args.low, args.high):
+        results[cores].append(run_once(cores, args.repeats))
 
     best = {c: max(r["extraction_docs_per_sec"] for r in rs) for c, rs in results.items()}
     rows = results[args.low][0]["extraction_rows"]
@@ -88,7 +91,7 @@ is the faithful stand-in).
 - job: `plans.pipeline.run_extraction` (full pipeline: route → parse →
   normalize → bucketed write + lineage + manifest)
 - input: deterministic fixture corpus, {rows} docs (seed 42)
-- best of {args.repeats} runs per level, measured {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())}
+- best of {args.repeats} timed runs per level (one warmed JVM each), measured {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())}
 
 | parallelism | docs/sec | sec |
 | --- | --- | --- |
