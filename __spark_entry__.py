@@ -156,6 +156,15 @@ def _q07_pivot_status(spark, sf):
     )
 
 
+def _q08_rollup(spark, sf):
+    """Grouping sets: rollup subtotals over returnflag × linestatus."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
 def _q10_meaningful_len(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", X.meaningful_len(F.col("text")).alias("mlen"))
@@ -365,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_set_ops": _q05_set_ops,
         "q06_sessionize": _q06_sessionize,
         "q07_pivot_status": _q07_pivot_status,
+        "q08_rollup": _q08_rollup,
         "q10_meaningful_len": _q10_meaningful_len,
         "q11_charset_clean": _q11_charset_clean,
         "q12_deep_clean": _q12_deep_clean,
@@ -522,6 +532,10 @@ select o_orderpriority,
        sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_o,
        sum(case when o_orderstatus = 'P' then 1 else 0 end) as n_p
 from orders group by 1
+""",
+        "q08_rollup": """
+select l_returnflag, l_linestatus, count(*) as n, round(sum(l_quantity), 2) as qty
+from lineitem group by rollup (l_returnflag, l_linestatus)
 """,
         "q10_meaningful_len": f"""
 select doc_id, length(regexp_replace(text, '{_CLS}+', '', 'g')) as mlen from documents

@@ -46,7 +46,7 @@ def bench_corpus(sf: float, seed: int = 42) -> tuple[str, int]:
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
-        write_corpus(d, rows, seed)
+        write_corpus(d, rows, seed, goldens=False)  # bench never reads goldens
         open(marker, "w").close()
     return d, rows
 

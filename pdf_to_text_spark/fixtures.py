@@ -198,9 +198,12 @@ _PAGES_SCHEMA = pa.schema(
 )
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> dict:
-    """Write pages.parquet + golden tables; returns summary counts."""
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42, goldens: bool = True) -> dict:
+    """Write pages.parquet (+ golden tables unless ``goldens=False`` —
+    bench corpora skip the sequential oracle pass, which dominates
+    generation time at scale); returns summary counts."""
     import os
+    from collections import Counter
 
     os.makedirs(out_dir, exist_ok=True)
     rows = make_corpus(n_rows, seed)
@@ -211,6 +214,8 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> dict:
         ),
         f"{out_dir}/pages.parquet",
     )
+    if not goldens:
+        return dict(Counter(r["cls"] for r in rows))
     golden, golden_pages = [], []
     for r in rows:
         extracted, error, route, pages = oracle_extract(r["html"], r["text"])
