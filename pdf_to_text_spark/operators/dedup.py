@@ -32,9 +32,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------- shingling
 
 
-def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    words = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda w: F.length(w) > 0)
+MAX_SHINGLE_WORDS = 10_000  # cap: fingerprint the head of huge docs
+# (standard near-dup practice; a 500 KB whale would otherwise emit 80k
+# shingles per row through interpreted higher-order exprs)
+
+
+def _words_col(c: Column, max_words: int = MAX_SHINGLE_WORDS) -> Column:
+    return F.slice(
+        F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda w: F.length(w) > 0),
+        1,
+        max_words,
+    )
+
+
+def _shingles_of_words(words: Column, n: int) -> Column:
+    """``words`` MUST be a bound attribute (a projected column), never
+    an inline expression: Catalyst re-evaluates expressions referenced
+    inside a ``transform`` lambda once PER ELEMENT — an inline
+    split/filter there is O(words × shingles) per row (measured: 158 s
+    for 97 docs with one 43k-word whale; ~2 s with the projection)."""
     return F.array_distinct(
         F.when(
             F.size(words) >= n,
@@ -46,9 +62,19 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles(c: Column, n: int = 3, max_words: int = MAX_SHINGLE_WORDS) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Only the first ``max_words`` words participate. NOTE: fine for
+    one-off expressions on short text; for table-scale shingling use
+    ``shingle_table`` (projects the word array once — see
+    ``_shingles_of_words`` for why that matters)."""
+    return _shingles_of_words(_words_col(c, max_words), n)
+
+
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    words_df = df.select(F.col(id_col), _words_col(F.col(text_col)).alias("_words"))
+    return words_df.select(
+        F.col(id_col), F.explode(_shingles_of_words(F.col("_words"), n)).alias("shingle")
     )
 
 
@@ -94,9 +120,14 @@ def minhash_lsh_pairs(
     short digest; band buckets with huge collision counts (boilerplate
     pages) quadratically blow up, so production adds a bucket-size cap;
     here AQE skew-join covers the test scales.
+
+    The signature frame feeds both sides of the self-join; it is cached
+    so the shingle explode (interpreted higher-order exprs — the
+    expensive part) evaluates once. At 100 TB the signature table is a
+    materialized intermediate dataset, not a cache.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -148,9 +179,11 @@ def ngram_jaccard_pairs(
     Scale: the shingle self-join is the classic inverted-index pattern;
     hot shingles (stopword runs) need a document-frequency cap upstream
     in production. Jaccard uses |A∩B| from the join and |A|,|B| from a
-    broadcast side table of shingle counts.
+    broadcast side table of shingle counts. The shingle table feeds
+    three consumers (both join sides + sizes) — cached so the explode
+    evaluates once (at scale it is a materialized intermediate).
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n)
+    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

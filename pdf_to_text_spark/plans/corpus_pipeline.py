@@ -1,0 +1,98 @@
+"""Training-corpus pipeline: the composed tier (task brief).
+
+extraction → quality gate → exact dedup → MinHash-LSH near-dup removal
+→ clean corpus table. This is the end-to-end shape a 100 TB pretraining
+ingest runs; every stage is an engine operator documented/tested on its
+own.
+
+Scale notes:
+- stages communicate through narrow projections of (url, text) — the
+  html binary never crosses a stage boundary after extraction;
+- exact dedup shuffles a 32-byte digest, not the text;
+- near-dup candidates come from LSH band collisions (the scale path);
+  pairs are resolved keep-lowest-url so the result is deterministic
+  under any partitioning;
+- `extracted` is cached across its three consumers (stats, dedup,
+  output); at real scale it is a materialized intermediate table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators.dedup import minhash_lsh_pairs
+from pdf_to_text_spark.operators.extract import extract_documents_fused
+from pdf_to_text_spark.operators.textstats import lang_id, quality_score
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    *,
+    min_quality: float = 0.5,
+    require_lang: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    near_dup_min_bands: int | None = None,
+) -> dict:
+    """pages table → deduplicated quality corpus at ``out_dir``.
+
+    Returns stage-by-stage row counts (the funnel — itself a lineage
+    artifact worth persisting alongside the corpus).
+    """
+    near_dup_min_bands = near_dup_min_bands or (bands // 2 + 1)
+    pages = spark.read.parquet(pages_path)
+
+    extracted = (
+        extract_documents_fused(pages)
+        .filter(F.col("error").isNull() & (F.length("extracted_text") > 0))
+        .select("url", "extracted_text")
+        .cache()
+    )
+    n_extracted = extracted.count()
+
+    scored = extracted.select(
+        "url",
+        "extracted_text",
+        quality_score(F.col("extracted_text")).alias("quality"),
+        lang_id(F.col("extracted_text")).alias("lang_guess"),
+    )
+    gate = F.col("quality") >= min_quality
+    if require_lang:
+        gate = gate & (F.col("lang_guess") == require_lang)
+    quality_pass = scored.filter(gate).select("url", "extracted_text")
+    n_quality = quality_pass.count()
+
+    # exact dedup: keep the lexicographically-smallest url per digest
+    # (shuffles the 32-byte digest, never the text)
+    hashed = quality_pass.select("url", "extracted_text", F.md5("extracted_text").alias("h"))
+    keep_urls = hashed.groupBy("h").agg(F.min("url").alias("url"))
+    # left_semi on url — keep_urls is O(unique docs), so no broadcast
+    # hint: AQE picks broadcast only when the keep set is actually small
+    exact_unique = hashed.join(keep_urls.select("url"), "url", "left_semi").select(
+        "url", "extracted_text"
+    )
+    exact_unique = exact_unique.cache()
+    n_exact = exact_unique.count()
+
+    # near-dup: LSH candidates colliding on ≥ near_dup_min_bands bands
+    # are duplicates; drop the higher url of each pair
+    pairs = minhash_lsh_pairs(
+        exact_unique, text_col="extracted_text", id_col="url",
+        num_hashes=num_hashes, bands=bands,
+    ).filter(F.col("n_bands") >= near_dup_min_bands)
+    drop = pairs.select(F.col("id_b").alias("url")).distinct()
+    final = exact_unique.join(drop, "url", "left_anti")
+    final.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    n_final = spark.read.parquet(f"{out_dir}/corpus").count()
+
+    extracted.unpersist()
+    exact_unique.unpersist()
+    return {
+        "extracted": n_extracted,
+        "quality_pass": n_quality,
+        "exact_unique": n_exact,
+        "final": n_final,
+    }

@@ -1,0 +1,50 @@
+"""Composed training-corpus pipeline: extract → quality → dedup funnel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.plans.corpus_pipeline import build_training_corpus
+
+
+def test_corpus_funnel(spark, corpus_dir, tmp_path):
+    """Inject exact + near duplicates into the fixture pages; the
+    pipeline must drop them while keeping the canonical (lowest-url)
+    copy, and the funnel counts must be monotone."""
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    # exact dupes: clone 10 rows whose extraction SUCCEEDS (per the
+    # goldens) under new urls — broken/empty rows never reach dedup
+    golden = spark.read.parquet(f"{corpus_dir}/golden_extracted.parquet")
+    good_urls = golden.filter(
+        F.col("error").isNull() & (F.length("extracted_text") > 0)
+    ).select("url")
+    clones = (
+        pages.join(good_urls, "url", "left_semi")
+        .orderBy("url")
+        .limit(10)
+        .withColumn("url", F.concat(F.lit("https://zdup.test/"), F.col("url")))
+    )
+    staged = str(tmp_path / "staged")
+    pages.unionByName(clones).write.parquet(staged)
+
+    out = str(tmp_path / "out")
+    funnel = build_training_corpus(spark, staged, out, min_quality=0.0)
+
+    assert funnel["extracted"] >= funnel["quality_pass"] >= funnel["exact_unique"] >= funnel["final"]
+    # every injected exact dupe was dropped (its original url kept —
+    # originals sort before the zdup urls)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.filter(F.col("url").startswith("https://zdup.test/")).count() == 0
+    assert funnel["exact_unique"] <= funnel["quality_pass"] - 10
+    # output is duplicate-free by construction
+    assert corpus.groupBy("extracted_text").count().filter("count > 1").count() == 0
+
+
+def test_quality_gate_filters(spark, corpus_dir, tmp_path):
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    staged = str(tmp_path / "staged2")
+    pages.write.parquet(staged)
+    strict = build_training_corpus(spark, staged, str(tmp_path / "o1"), min_quality=0.9)
+    loose = build_training_corpus(spark, staged, str(tmp_path / "o2"), min_quality=0.0)
+    assert strict["quality_pass"] < loose["quality_pass"]
+    assert strict["final"] <= loose["final"]
