@@ -273,6 +273,32 @@ def extract_pdf_pages(data: bytes) -> list[str]:
         if cm is None:
             texts.append("")
             continue
-        content = _stream_data(objs[int(cm.group(1))])
-        texts.append(_runs_to_text(_runs_from_content(content)))
+        cobj = objs.get(int(cm.group(1)))
+        if cobj is None:
+            raise PdfError("dangling contents ref")
+        content = _stream_data(cobj)
+        # frozen spec: \x02 (the engine's internal page sentinel) is
+        # stripped from page text — a PDF string could inject it via an
+        # octal escape and would otherwise split one page into two in
+        # the fused operator's PAGE_SEP join/split round-trip
+        texts.append(_runs_to_text(_runs_from_content(content)).replace("\x02", ""))
     return texts
+
+
+def extract_pdf_pages_safe(data: bytes) -> tuple[list[str] | None, str | None]:
+    """Total version of ``extract_pdf_pages``: never raises.
+
+    Row-level error tolerance (the reference catches ``Exception`` per
+    file, ``/root/reference/2_OpenCV_OCR/main.py:77-78``): any exception
+    from malformed-but-magic-valid input (missing operands, bad operand
+    types, truncated objects) becomes an error string instead of killing
+    the executor task — with deterministic task retries, an unguarded
+    raise would make the whole job permanently unable to finish on that
+    input. Returns ``(pages, None)`` or ``(None, error)``.
+    """
+    try:
+        return extract_pdf_pages(data), None
+    except PdfError as e:
+        return None, str(e)
+    except Exception as e:  # noqa: BLE001 — row-level tolerance by design
+        return None, f"unexpected:{type(e).__name__}"

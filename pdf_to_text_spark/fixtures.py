@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 
 from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
 from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
-from pdf_to_text_spark.core.pdfparse import PdfError, extract_pdf_pages
+from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
 from pdf_to_text_spark.core.textnorm import normalize_extracted, text_layer_sufficient
 
 _WORDS = (
@@ -140,14 +140,17 @@ def oracle_extract(html: bytes | None, text: str | None) -> tuple[str | None, st
     if html is None or len(html) == 0:
         return None, "empty_payload", "error", []
     if html.startswith(b"%PDF-"):
-        try:
-            raw_pages = extract_pdf_pages(html)
-        except PdfError as e:
-            return None, f"pdf:{e}", "pdf", []
+        raw_pages, perr = extract_pdf_pages_safe(html)
+        if perr is not None:
+            return None, f"pdf:{perr}", "pdf", []
         pages = [normalize_extracted(p) for p in raw_pages]
         return normalize_extracted("\n\n".join(pages)), None, "pdf", pages
     if html[:32].lstrip()[:1] == b"<":  # 32-byte sniff window (frozen spec)
-        return normalize_extracted(extract_main_content_bytes(html)), None, "html", []
+        try:
+            content = extract_main_content_bytes(html)
+        except Exception as e:  # noqa: BLE001 — row-level tolerance, mirrors engine
+            return None, f"html:unexpected:{type(e).__name__}", "html", []
+        return normalize_extracted(content), None, "html", []
     return None, "unknown_format", "error", []
 
 

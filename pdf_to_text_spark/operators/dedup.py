@@ -126,6 +126,11 @@ def minhash_lsh_pairs(
     expensive part) evaluates once. At 100 TB the signature table is a
     materialized intermediate dataset, not a cache.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature rows and weaken recall"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     band_cols = [

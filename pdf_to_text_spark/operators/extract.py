@@ -29,8 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
-from pdf_to_text_spark.core.pdfparse import PdfError, extract_pdf_pages
-from pdf_to_text_spark.core.textnorm import WS_A
+from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
 from pdf_to_text_spark.functions.text import normalize_extracted, text_layer_sufficient
 
 ROUTE_TEXT, ROUTE_PDF, ROUTE_HTML, ROUTE_ERROR = "text_layer", "pdf", "html", "error"
@@ -48,38 +47,49 @@ _PDF_RESULT = T.StructType(
 _HTML_RESULT = T.StructType(
     [
         T.StructField("content", T.StringType()),
+        T.StructField("error", T.StringType()),
         T.StructField("ms", T.DoubleType()),
     ]
 )
 
 
+def _html_main_safe(data: bytes) -> tuple[str | None, str | None]:
+    """Row-level error tolerance for the HTML branch (same contract as
+    ``extract_pdf_pages_safe``): never raises."""
+    try:
+        return extract_main_content_bytes(data), None
+    except Exception as e:  # noqa: BLE001 — row-level tolerance by design
+        return None, f"unexpected:{type(e).__name__}"
+
+
 @F.pandas_udf(_PDF_RESULT)
 def pdf_pages_udf(html: pd.Series) -> pd.DataFrame:
     """binary → (ordered page texts, error, parse-ms). SURVEY M1/M2/M5:
-    deterministic text-object decode replaces rasterize+OCR."""
+    deterministic text-object decode replaces rasterize+OCR. Errors
+    (including unexpected exceptions on malformed-but-magic-valid input)
+    become rows, never task failures."""
     pages_out, err_out, ms_out = [], [], []
     for data in html:
         t0 = time.perf_counter()
-        try:
-            pages_out.append(extract_pdf_pages(bytes(data)))
-            err_out.append(None)
-        except PdfError as e:
-            pages_out.append(None)
-            err_out.append(str(e))
+        pages, err = extract_pdf_pages_safe(bytes(data))
+        pages_out.append(pages)
+        err_out.append(err)
         ms_out.append((time.perf_counter() - t0) * 1000.0)
     return pd.DataFrame({"pages": pages_out, "error": err_out, "ms": ms_out})
 
 
 @F.pandas_udf(_HTML_RESULT)
 def html_main_udf(html: pd.Series) -> pd.DataFrame:
-    """binary → (raw main-content blocks, parse-ms). North-rule DOM
-    text-density/link-density boilerplate strip (core.htmlextract)."""
-    out, ms_out = [], []
+    """binary → (raw main-content blocks, error, parse-ms). North-rule
+    DOM text-density/link-density boilerplate strip (core.htmlextract)."""
+    out, err_out, ms_out = [], [], []
     for data in html:
         t0 = time.perf_counter()
-        out.append(extract_main_content_bytes(bytes(data)))
+        content, err = _html_main_safe(bytes(data))
+        out.append(content)
+        err_out.append(err)
         ms_out.append((time.perf_counter() - t0) * 1000.0)
-    return pd.DataFrame({"content": out, "ms": ms_out})
+    return pd.DataFrame({"content": out, "error": err_out, "ms": ms_out})
 
 
 def _is_empty(html: Column) -> Column:
@@ -90,9 +100,16 @@ def _is_pdf_magic(html: Column) -> Column:
     return F.substring(html, 1, 5) == F.lit(b"%PDF-")
 
 
+# bytes.lstrip()'s whitespace set — the Python routers (fused UDF,
+# fixtures oracle) lstrip raw BYTES, which never strips U+00A0, so the
+# Catalyst sniff must not either (WS_A includes \xa0 and would diverge
+# on a latin-1 NBSP-leading payload)
+_WS_SNIFF = " \t\n\r\x0b\f"
+
+
 def _is_html_magic(html: Column) -> Column:
     prefix = F.decode(F.substring(html, 1, _SNIFF_WINDOW), "ISO-8859-1")
-    return F.substring(F.regexp_replace(prefix, f"^[{WS_A}]+", ""), 1, 1) == "<"
+    return F.substring(F.regexp_replace(prefix, f"^[{_WS_SNIFF}]+", ""), 1, 1) == "<"
 
 
 def sniff_route(html: Column, text: Column, threshold: int = 250) -> Column:
@@ -162,8 +179,11 @@ def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
         .withColumn("r", html_main_udf("html"))
         .select(
             "url",
-            normalize_extracted(F.col("r.content")).alias("extracted_text"),
-            F.lit(None).cast("string").alias("error"),
+            F.when(F.col("r.error").isNotNull(), F.lit(None).cast("string"))
+            .otherwise(normalize_extracted(F.col("r.content")))
+            .alias("extracted_text"),
+            F.when(F.col("r.error").isNotNull(), F.concat(F.lit("html:"), F.col("r.error")))
+            .alias("error"),
             F.lit(ROUTE_HTML).alias("route"),
             bytes_in,
             F.col("r.ms").alias("extract_ms"),
@@ -182,7 +202,10 @@ def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
     return text_b.unionByName(pdf_b).unionByName(html_b).unionByName(err_b)
 
 
-PAGE_SEP = "\x02"  # internal page sentinel (never occurs in document text)
+# internal page sentinel — guaranteed absent from page text because
+# extract_pdf_pages strips \x02 as part of the frozen spec (a PDF string
+# could otherwise inject it via an octal escape)
+PAGE_SEP = "\x02"
 
 _FUSED_RESULT = T.StructType(
     [
@@ -214,12 +237,16 @@ def parse_any_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
                 err, route = "empty_payload", ROUTE_ERROR
             elif data.startswith(b"%PDF-"):
                 route = ROUTE_PDF
-                try:
-                    raw = PAGE_SEP.join(extract_pdf_pages(data))
-                except PdfError as e:
-                    err = f"pdf:{e}"
+                pages, perr = extract_pdf_pages_safe(data)
+                if perr is not None:
+                    err = f"pdf:{perr}"
+                else:
+                    raw = PAGE_SEP.join(pages)
             elif data[:32].lstrip()[:1] == b"<":
-                raw, route = extract_main_content_bytes(data), ROUTE_HTML
+                route = ROUTE_HTML
+                raw, herr = _html_main_safe(data)
+                if herr is not None:
+                    err = f"html:{herr}"
             else:
                 err, route = "unknown_format", ROUTE_ERROR
         raws.append(raw)

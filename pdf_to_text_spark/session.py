@@ -25,7 +25,7 @@ def get_spark(
     comes from the cluster manager.
     """
     cores_s = "*" if cores is None else str(cores)
-    n_shuffle = shuffle_partitions or (os.cpu_count() or 8 if cores is None else cores)
+    n_shuffle = shuffle_partitions or ((os.cpu_count() or 8) if cores is None else cores)
     builder = (
         SparkSession.builder.master(f"local[{cores_s}]")
         .appName(app_name)
