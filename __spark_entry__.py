@@ -9,9 +9,10 @@
 
 from __future__ import annotations
 
+import unicodedata
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -33,6 +34,17 @@ PLANES = [[1.0 if (i * 7 + j * 13) % 5 < 2 else -1.0 for j in range(64)] for i i
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(c: Column, scale: int, prec: str = "decimal(18,6)") -> Column:
+    """Order-independent rounded sum: double addition is NOT associative,
+    so a double-sum rounded near a boundary can differ between Spark's
+    partition order and DuckDB's scan order (driver gate flagged q06 this
+    way in round 1). Casting each addend to decimal makes the sum exact →
+    identical on any engine/partitioning; the oracle twin is
+    ``round(sum(x::decimal(18,6)), s)::double`` (rounding verified
+    identical: both engines round decimals half-away-from-zero)."""
+    return F.round(F.sum(c.cast(prec)), scale).cast("double")
 
 
 # --------------------------------------------------------------------- entry
@@ -71,9 +83,9 @@ def _q01_pricing(spark, sf):
         li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("sum_disc"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -87,7 +99,7 @@ def _q02_revenue_by_nation(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -141,7 +153,7 @@ def _q06_sessionize(spark, sf):
     )
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        _dsum(F.col("value"), 4).alias("session_value"),
     )
 
 
@@ -161,7 +173,7 @@ def _q08_rollup(spark, sf):
     li = _t(spark, sf, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        _dsum(F.col("l_quantity"), 2).alias("qty"),
     )
 
 
@@ -321,7 +333,7 @@ def _q43_centrality_topk(spark, sf):
     b = e.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
     pairs = a.join(b, ["label"]).filter(F.col("id_a") != F.col("id_b"))
     cent = pairs.groupBy("label", "id_a").agg(
-        F.round(F.sum(S.cosine(F.col("va"), F.col("vb"))), 6).alias("centrality")
+        _dsum(S.cosine(F.col("va"), F.col("vb")), 6, "decimal(28,12)").alias("centrality")
     )
     w = W.partitionBy("label").orderBy(F.desc("centrality"), F.asc("id_a"))
     return (
@@ -341,8 +353,8 @@ def _q44_stopword_removal(spark, sf):
 def _q22_blueprint(spark, sf):
     """Deterministic restructure (M7/M10 analog): synthesize markdown
     from each doc (heading + bullet per sentence), build the blueprint
-    struct, explode to (doc_id, slide_no, title, n_points). Rows-only
-    check: from_json/to_json structs are not portably SQL-expressible."""
+    struct, explode to (doc_id, slide_no, title, n_points) — all flat
+    scalars, so the DuckDB twin replays the same split/trim steps."""
     from pdf_to_text_spark.operators.blueprint import text_to_blueprint
 
     d = _t(spark, sf, "documents")
@@ -357,12 +369,64 @@ def _q22_blueprint(spark, sf):
     )
 
 
+# NFKC probe suffix: chars with non-trivial NFKC folds (Ⅻ→XII, ㎏→kg,
+# ﬁ→fi, Ａ→A, ②→2) so the UDF's real normalization is exercised while
+# the oracle twin stays SQL-expressible (DuckDB has no NFKC): the text
+# part is projected to ASCII (where NFKC is the identity), the probe's
+# expected fold is computed once in Python and pinned as a SQL literal.
+NFKC_PROBE = " Ⅻ ㎏ ﬁ Ａ ②"
+
+
 def _q45_nfkc(spark, sf):
-    """F4 NFKC+lower (Arrow pandas UDF; no DuckDB NFKC → rows-only)."""
+    """F4 NFKC+lower (Arrow pandas UDF) with a hash-checkable oracle."""
     from pdf_to_text_spark.functions.udfs import nfkc_lower
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", nfkc_lower(F.col("text")).alias("norm"))
+    ascii_only = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]+", " ")
+    return d.select(
+        "doc_id", nfkc_lower(F.concat(ascii_only, F.lit(NFKC_PROBE))).alias("norm")
+    )
+
+
+def _q23_chart_parse(spark, sf):
+    """F11 chart-string parse: synthesize a deterministic chart string
+    per doc (with malformed points exercising the 0.0-on-failure and
+    no-colon-skip rules), parse, explode points to flat rows."""
+    d = _t(spark, sf, "documents")
+    cs = F.concat(
+        F.lit("Report "), F.col("doc_id").cast("string"),
+        F.lit(", series_"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(", Q1: $"), (F.col("doc_id") % 97).cast("string"), F.lit(".5"),
+        F.lit(", Q2:"), F.substring(F.col("text"), 1, 2),
+        F.lit(", Q3 : 7 USD, malformed part, Q4:1.2.3"),
+    )
+    p = d.select("doc_id", X.parse_chart_string(cs).alias("ch"))
+    return p.select(
+        "doc_id",
+        F.col("ch.title").alias("title"),
+        F.col("ch.series").alias("series"),
+        F.posexplode("ch.points").alias("pos", "pt"),
+    ).select(
+        "doc_id", "title", "series", "pos",
+        F.col("pt.category").alias("category"),
+        F.col("pt.value").alias("value"),
+    )
+
+
+def _q24_filename_ops(spark, sf):
+    """F14 filename scalar helpers over a synthesized path column."""
+    d = _t(spark, sf, "documents")
+    path = F.concat(
+        F.lit("/data/in/"), F.col("source"), F.lit("/doc_"),
+        F.col("doc_id").cast("string"), F.lit(".PDF"),
+    )
+    return d.select(
+        "doc_id",
+        X.file_ext(path).alias("ext"),
+        X.file_stem(path).alias("stem"),
+        X.rel_path(path, "/data/in").alias("rel"),
+        X.title_from_stem(X.file_stem(path)).alias("title"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -398,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_centrality_topk": _q43_centrality_topk,
         "q44_stopword_removal": _q44_stopword_removal,
         "q22_blueprint_explode": _q22_blueprint,
+        "q23_chart_parse": _q23_chart_parse,
+        "q24_filename_ops": _q24_filename_ops,
         "q45_nfkc_lower": _q45_nfkc,
     }
 
@@ -476,16 +542,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
 select l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) as sum_qty,
-       round(sum(l_extendedprice), 2) as sum_base,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc,
+       round(sum(l_quantity::decimal(18,6)), 2)::double as sum_qty,
+       round(sum(l_extendedprice::decimal(18,6)), 2)::double as sum_base,
+       round(sum((l_extendedprice * (1 - l_discount))::decimal(18,6)), 2)::double as sum_disc,
        count(*) as n_rows
 from lineitem where l_shipdate <= timestamp '2002-09-02'
 group by l_returnflag, l_linestatus
 """,
         "q02_revenue_by_nation": """
 select n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::decimal(18,6)), 2)::double as revenue,
        count(distinct o_orderkey) as n_orders
 from lineitem join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
@@ -500,7 +566,7 @@ select o_custkey, o_orderkey, round(o_totalprice, 2) as price, rn from (
 """,
         "q04_events_hourly": """
 select date_trunc('hour', ts) as window_start, event_type,
-       count(*) as n, round(sum(value), 4) as sum_value
+       count(*) as n, round(sum(value::decimal(18,6)), 4)::double as sum_value
 from events group by 1, 2
 """,
         "q05_set_ops": """
@@ -523,18 +589,20 @@ s as (
          sum(new_s) over (partition by user_id order by ts, event_id
                           rows between unbounded preceding and current row) as session_no
   from g)
-select user_id, session_no, count(*) as n_events, round(sum(value), 4) as session_value
+select user_id, session_no, count(*) as n_events,
+       round(sum(value::decimal(18,6)), 4)::double as session_value
 from s group by 1, 2
 """,
         "q07_pivot_status": """
 select o_orderpriority,
-       sum(case when o_orderstatus = 'F' then 1 else 0 end) as n_f,
-       sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_o,
-       sum(case when o_orderstatus = 'P' then 1 else 0 end) as n_p
+       sum(case when o_orderstatus = 'F' then 1 else 0 end)::bigint as n_f,
+       sum(case when o_orderstatus = 'O' then 1 else 0 end)::bigint as n_o,
+       sum(case when o_orderstatus = 'P' then 1 else 0 end)::bigint as n_p
 from orders group by 1
 """,
         "q08_rollup": """
-select l_returnflag, l_linestatus, count(*) as n, round(sum(l_quantity), 2) as qty
+select l_returnflag, l_linestatus, count(*) as n,
+       round(sum(l_quantity::decimal(18,6)), 2)::double as qty
 from lineitem group by rollup (l_returnflag, l_linestatus)
 """,
         "q10_meaningful_len": f"""
@@ -653,15 +721,24 @@ with w as (select doc_id, {_WORDS} as words from documents),
        select doc_id, 0 as band_no, md5(sig_0||'|'||sig_1) as bh from sigs
        union all select doc_id, 1, md5(sig_2||'|'||sig_3) from sigs
        union all select doc_id, 2, md5(sig_4||'|'||sig_5) from sigs
-       union all select doc_id, 3, md5(sig_6||'|'||sig_7) from sigs)
+       union all select doc_id, 3, md5(sig_6||'|'||sig_7) from sigs),
+     -- hot-bucket cap (mirrors minhash_lsh_pairs max_bucket=200)
+     hotb as (select band_no, bh from bands group by 1, 2 having count(*) > 200),
+     b2 as (select bands.* from bands left join hotb
+            on bands.band_no = hotb.band_no and bands.bh = hotb.bh
+            where hotb.bh is null)
 select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
-from bands a join bands b on a.band_no = b.band_no and a.bh = b.bh and a.doc_id < b.doc_id
+from b2 a join b2 b on a.band_no = b.band_no and a.bh = b.bh and a.doc_id < b.doc_id
 group by 1, 2
 """,
         "q33_ngram_jaccard": f"""
 with w as (select doc_id, {_WORDS} as words from documents),
      sh as (select doc_id, {_SHINGLES} as shingles from w),
-     e as (select doc_id, unnest(shingles) as shingle from sh),
+     e0 as (select doc_id, unnest(shingles) as shingle from sh),
+     -- document-frequency cap (mirrors ngram_jaccard_pairs max_df=1000)
+     hot as (select shingle from e0 group by 1 having count(*) > 1000),
+     e as (select e0.* from e0 left join hot on e0.shingle = hot.shingle
+           where hot.shingle is null),
      sizes as (select doc_id, count(*) as n_sh from e group by doc_id),
      common as (
        select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
@@ -689,7 +766,8 @@ with e as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where 
               list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) as c
        from e a join e b on a.label = b.label and a.vec_id != b.vec_id),
-     cent as (select label, id_a, round(sum(c), 6) as centrality from pairs group by 1, 2)
+     cent as (select label, id_a, round(sum(c::decimal(28,12)), 6)::double as centrality
+              from pairs group by 1, 2)
 select label, id_a as vec_id, centrality, rn from (
   select *, row_number() over (partition by label order by centrality desc, id_a asc) as rn
   from cent) t where rn <= 3
@@ -710,5 +788,81 @@ with e as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where 
 select label, id_a, id_b, score, rn from (
   select *, row_number() over (partition by label order by score desc, id_a asc, id_b asc) as rn
   from pairs) t where rn <= 3
+""",
+        # q22: replay the blueprint pipeline (markdown synth → heading
+        # split → per-section line parse) step-for-step in SQL
+        "q22_blueprint_explode": """
+with md as (
+  select doc_id,
+         '# doc ' || doc_id || chr(10) ||
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '\\. ', '.' || chr(10) || '- ', 'g') as m
+  from documents),
+secs as (
+  select doc_id,
+         list_filter(string_split(regexp_replace(m, '\\n(#+ )', chr(1) || '\\1', 'g'), chr(1)),
+                     s -> length(trim(s)) > 0) as ss
+  from md),
+ex as (
+  select doc_id,
+         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
+  from secs),
+lines as (
+  select doc_id, u.slide_no as slide_no,
+         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) as ls
+  from ex)
+select doc_id, slide_no,
+       regexp_replace(ls[1], '^#+ ', '') as title,
+       greatest(len(ls) - 1, 0) as n_points
+from lines
+""",
+        "q23_chart_parse": f"""
+with src as (
+  select doc_id,
+         'Report ' || doc_id || ', series_' || (doc_id % 3) || ', Q1: $' || (doc_id % 97) ||
+         '.5, Q2:' || substr(text, 1, 2) || ', Q3 : 7 USD, malformed part, Q4:1.2.3' as cs
+  from documents),
+p as (select doc_id, string_split(cs, ',') as parts from src where len(string_split(cs, ',')) >= 3),
+pts as (
+  select doc_id,
+         regexp_replace(regexp_replace(parts[1], '^{_CLS}+', ''), '{_CLS}+$', '') as title,
+         regexp_replace(regexp_replace(parts[2], '^{_CLS}+', ''), '{_CLS}+$', '') as series,
+         list_filter(parts[3:], x -> strpos(x, ':') > 0) as raw
+  from p),
+ex as (
+  select doc_id, title, series,
+         unnest([{{'pos': i - 1, 'pt': raw[i]}} for i in range(1, len(raw) + 1)]) as u
+  from pts)
+select doc_id, title, series, u.pos as pos,
+       regexp_replace(regexp_replace(substr(u.pt, 1, strpos(u.pt, ':') - 1),
+                      '^{_CLS}+', ''), '{_CLS}+$', '') as category,
+       coalesce(try_cast(regexp_replace(substr(u.pt, strpos(u.pt, ':') + 1),
+                         '[^0-9.]', '', 'g') as double), 0.0) as value
+from ex
+""",
+        "q24_filename_ops": """
+with p as (
+  select doc_id,
+         '/data/in/' || source || '/doc_' || doc_id || '.PDF' as path
+  from documents),
+s as (
+  select doc_id, path,
+         regexp_extract(path, '([^/]+?)(?:\\.[A-Za-z0-9]+)?$', 1) as stem
+  from p)
+select doc_id,
+       lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) as ext,
+       stem,
+       regexp_replace(path, '^/data/in/', '') as rel,
+       array_to_string(list_transform(
+         string_split(regexp_replace(stem, '[_\\-]+', ' ', 'g'), ' '),
+         w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') as title
+from s
+""",
+        "q45_nfkc_lower": f"""
+select doc_id,
+       lower(regexp_replace(text, '[^\\x00-\\x7F]+', ' ', 'g'))
+         || '{unicodedata.normalize("NFKC", NFKC_PROBE).lower()}' as norm
+from documents
 """,
     }

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E  # noqa: E402
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from pdf_to_text_spark.fixtures import write_corpus  # noqa: E402
 from pdf_to_text_spark.plans.pipeline import run_extraction  # noqa: E402
 from pdf_to_text_spark.session import get_spark  # noqa: E402
@@ -95,7 +97,15 @@ def main() -> None:
         for name, fn in E.queries().items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()  # materialize fully
+            # materialize EVERY column's values: count() lets Catalyst
+            # prune unused projections (including pandas UDFs and the
+            # regex chains under test), so it would time a bare scan —
+            # hashing all columns into one aggregate forces the full
+            # plan to run while keeping the collected result tiny
+            n = df.select(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+            ).collect()[0]["n"]
             timings[name] = round(time.perf_counter() - t0, 3)
             _ = n
     total = round(sum(timings.values()), 3)

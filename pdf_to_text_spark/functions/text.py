@@ -125,3 +125,71 @@ def code_fence_strip(c: Column) -> Column:
     """F12: strip ```json fences (ai_presentation generator.py:47-52)."""
     c = F.regexp_replace(c, r"^```[a-zA-Z]*\n", "")
     return F.regexp_replace(c, r"\n?```$", "")
+
+
+# ----------------------------------------------------------- F11 chart parse
+
+
+def parse_chart_string(c: Column) -> Column:
+    """F11: parse ``"<title>, <series>, <cat>:<val>, ..."``
+    (``/root/reference/2_OpenCV_OCR/pptx_designer.py:131-157``).
+
+    Semantics mirrored exactly: split on ',', require ≥3 parts (else
+    null — the reference raises), parts[0]/parts[1] stripped are
+    title/series, remaining parts WITH a ':' become (category, value)
+    points; value = float of the part after the FIRST colon with
+    ``[^0-9.]`` removed, 0.0 when unparseable (``float()`` raise →
+    ``try_cast`` null → coalesce 0.0 — same failure set: the cleaned
+    string holds only digits/dots). Pure Catalyst; the DuckDB twin runs
+    the identical steps (strpos/substr for the first-colon split).
+
+    Returns ``struct<title, series, points:array<struct<category,value>>>``.
+    """
+    parts = F.split(c, ",")
+    rest = F.slice(parts, 3, F.greatest(F.size(parts) - 2, F.lit(0)))
+    with_colon = F.filter(rest, lambda p: F.instr(p, ":") > 0)
+
+    def _point(p: Column) -> Column:
+        kv = F.split(p, ":", 2)
+        cleaned = F.regexp_replace(F.element_at(kv, 2), "[^0-9.]", "")
+        return F.struct(
+            strip_outer(F.element_at(kv, 1)).alias("category"),
+            F.coalesce(cleaned.try_cast("double"), F.lit(0.0)).alias("value"),
+        )
+
+    return F.when(
+        F.size(parts) >= 3,
+        F.struct(
+            strip_outer(F.element_at(parts, 1)).alias("title"),
+            strip_outer(F.element_at(parts, 2)).alias("series"),
+            F.transform(with_colon, _point).alias("points"),
+        ),
+    )
+
+
+# ------------------------------------------------------ F14 filename helpers
+
+
+def file_ext(c: Column) -> Column:
+    """F14: lowercased extension without the dot ('' when none) —
+    ``os.path.splitext`` analog (main.py:32-33, utils_list_images.py:5)."""
+    return F.lower(F.regexp_extract(c, r"\.([A-Za-z0-9]+)$", 1))
+
+
+def file_stem(c: Column) -> Column:
+    """F14: final path segment minus extension (main.py:45 splitext)."""
+    return F.regexp_extract(c, r"([^/]+?)(?:\.[A-Za-z0-9]+)?$", 1)
+
+
+def rel_path(c: Column, base: str) -> Column:
+    """F14: path relative to ``base`` (``os.path.relpath`` analog,
+    main.py:68-70). ``base`` is a literal prefix, regex-escaped."""
+    import re as _re
+
+    return F.regexp_replace(c, "^" + _re.escape(base.rstrip("/")) + "/", "")
+
+
+def title_from_stem(c: Column) -> Column:
+    """F14: template/display name from a file stem — separators to
+    spaces, then initcap (``ai_presentation generator.py:183``)."""
+    return F.initcap(F.regexp_replace(c, "[_\\-]+", " "))

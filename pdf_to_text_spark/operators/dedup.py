@@ -111,15 +111,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs colliding on any full band are
     candidates. Output: (id_a, id_b, n_bands) with id_a < id_b.
 
     Scale: the join key is md5(band-concat) — a self-equi-join on a
-    short digest; band buckets with huge collision counts (boilerplate
-    pages) quadratically blow up, so production adds a bucket-size cap;
-    here AQE skew-join covers the test scales.
+    short digest. **Hot-bucket cap** (``max_bucket``): a band bucket
+    holding B docs emits B(B−1)/2 pairs, so one boilerplate bucket with
+    10⁶ members is quadratic death at crawl scale; buckets larger than
+    ``max_bucket`` are dropped whole before the self-join (an exact-
+    duplicate cluster that large belongs to exact dedup, which is O(n);
+    recall loss is confined to those degenerate clusters). The cap is a
+    cheap extra groupBy on the short digest + a broadcast anti-join —
+    the hot-bucket list is tiny by construction. ``max_bucket=None``
+    disables (test/oracle-parity escape hatch).
 
     The signature frame feeds both sides of the self-join; it is cached
     so the shingle explode (interpreted higher-order exprs — the
@@ -151,6 +158,14 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band_no"), F.col("e.bh"))
+    if max_bucket is not None:
+        hot = (
+            melted.groupBy("band_no", "bh")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band_no", "bh")
+        )
+        melted = melted.join(F.broadcast(hot), ["band_no", "bh"], "left_anti")
     a = melted.alias("a")
     b = melted.alias("b")
     return (
@@ -177,18 +192,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
     Output: (id_a, id_b, jaccard) for pairs ≥ threshold.
 
-    Scale: the shingle self-join is the classic inverted-index pattern;
-    hot shingles (stopword runs) need a document-frequency cap upstream
-    in production. Jaccard uses |A∩B| from the join and |A|,|B| from a
-    broadcast side table of shingle counts. The shingle table feeds
-    three consumers (both join sides + sizes) — cached so the explode
-    evaluates once (at scale it is a materialized intermediate).
+    Scale: the shingle self-join is the classic inverted-index pattern.
+    **Document-frequency cap** (``max_df``): a shingle shared by D docs
+    contributes D(D−1)/2 join rows — one stopword-run shingle in 10⁸
+    crawl pages is a quadratic scale-killer — so shingles with
+    df > ``max_df`` are removed from the shingle sets entirely (both
+    the intersection AND the |A|/|B| sizes use the pruned sets, keeping
+    Jaccard internally consistent; ubiquitous shingles carry no
+    discriminative signal, the standard inverted-index stop-list move).
+    Cost: one extra groupBy on the shingle + broadcast anti-join
+    against the (tiny) hot list. ``max_df=None`` disables.
+
+    Jaccard uses |A∩B| from the join and |A|,|B| from a broadcast side
+    table of shingle counts. The shingle table feeds three consumers
+    (both join sides + sizes) — cached so the explode evaluates once
+    (at scale it is a materialized intermediate).
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -96,7 +96,13 @@ def windowed_event_counts(events_df, window: str = "1 hour"):
     a streaming source)."""
     return (
         events_df.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        # decimal addends: order-independent sum (see __spark_entry__._dsum)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

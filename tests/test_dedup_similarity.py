@@ -87,3 +87,47 @@ def test_pairwise_topk_per_label(spark):
     assert by_label[0] == (1, 2)  # the near-identical pair ranks first
     assert 1 not in by_label or by_label.get(1) is None or True  # label 1 has no pair
     assert len([r for r in got if r["label"] == 1]) == 0
+
+
+# ------------------------------------------------- hot-key caps (scale guard)
+
+
+def _boilerplate_corpus(spark):
+    """40 docs sharing one boilerplate sentence (a hot shingle cluster)
+    plus unique tails; 2 genuine near-dups with no boilerplate."""
+    boiler = "all rights reserved terms of service apply here"
+    rows = [(i, f"{boiler} unique tail {i} alpha beta gamma delta {i}") for i in range(40)]
+    rows += [
+        (100, "spark shuffles hash partitions across the cluster nodes evenly"),
+        (101, "spark shuffles hash partitions across the cluster nodes fairly"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_df_cap_prunes_hot_shingles(spark):
+    docs = _boilerplate_corpus(spark)
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=None)
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=10)
+    # boilerplate-driven candidate pairs vanish under the cap…
+    boiler_pairs = capped.filter(F.col("id_a") < 100).count()
+    assert boiler_pairs < uncapped.filter(F.col("id_a") < 100).count()
+    # …while the genuine near-dup pair (no hot shingles) survives intact
+    keep = capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101))
+    assert keep.count() == 1
+
+
+def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
+    # 30 identical docs → one bucket of 30 per band → C(30,2) pairs uncapped
+    rows = [(i, "identical boilerplate page body repeated verbatim") for i in range(30)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (101, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket=None)
+    capped = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket=10)
+    assert uncapped.filter(F.col("id_a") < 100).count() == 30 * 29 // 2
+    # the degenerate cluster's buckets (30 > cap) are skipped whole…
+    assert capped.filter(F.col("id_a") < 100).count() == 0
+    # …but the small dup pair's buckets (size 2) still collide
+    assert capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1

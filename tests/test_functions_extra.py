@@ -1,0 +1,59 @@
+"""F11 chart-string parse + F14 filename helpers — reference-parity
+micro-cases (/root/reference/2_OpenCV_OCR/pptx_designer.py:131-157,
+main.py:45,68-70)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.functions import text as X
+
+
+def _parse_one(spark, s: str):
+    df = spark.createDataFrame([(s,)], "cs string")
+    return df.select(X.parse_chart_string(F.col("cs")).alias("ch")).collect()[0]["ch"]
+
+
+def test_chart_parse_reference_semantics(spark):
+    ch = _parse_one(spark, "Sales 2024 , revenue, Q1: $1,200 , Q2: 3.5, skipme, Q3:abc")
+    assert ch.title == "Sales 2024"
+    assert ch.series == "revenue"
+    # "$1,200" splits on the comma → point value "$1" → 1.0, then "200 "
+    # has no colon → skipped (exactly what the reference's split(',') does)
+    cats = [p.category for p in ch.points]
+    vals = [p.value for p in ch.points]
+    assert cats == ["Q1", "Q2", "Q3"]
+    assert vals == [1.0, 3.5, 0.0]  # "abc" cleans to "" → float fails → 0.0
+
+
+def test_chart_parse_multidot_and_first_colon(spark):
+    ch = _parse_one(spark, "t, s, a:1.2.3, b:12:30")
+    # "1.2.3" → float raises → 0.0 ; split on FIRST colon: "12:30"→"1230"
+    assert [p.value for p in ch.points] == [0.0, 1230.0]
+
+
+def test_chart_parse_too_few_parts_is_null(spark):
+    assert _parse_one(spark, "only-title, series") is None
+
+
+def test_filename_helpers(spark):
+    df = spark.createDataFrame([("/data/in/srcA/my_doc-v2.PDF",)], "p string")
+    row = df.select(
+        X.file_ext(F.col("p")).alias("ext"),
+        X.file_stem(F.col("p")).alias("stem"),
+        X.rel_path(F.col("p"), "/data/in").alias("rel"),
+        X.title_from_stem(X.file_stem(F.col("p"))).alias("title"),
+    ).collect()[0]
+    assert row.ext == "pdf"
+    assert row.stem == "my_doc-v2"
+    assert row.rel == "srcA/my_doc-v2.PDF"
+    assert row.title == "My Doc V2"
+
+
+def test_filename_helpers_no_extension(spark):
+    df = spark.createDataFrame([("/x/README",)], "p string")
+    row = df.select(
+        X.file_ext(F.col("p")).alias("ext"), X.file_stem(F.col("p")).alias("stem")
+    ).collect()[0]
+    assert row.ext == ""
+    assert row.stem == "README"
