@@ -413,6 +413,17 @@ def _q23_chart_parse(spark, sf):
     )
 
 
+def _q46_embed_centrality(spark, sf):
+    """M9 end-to-end: raw text → feature-hash embedder (Arrow pandas
+    UDF, md5-portable) → per-source cosine centrality → top-3. The
+    DuckDB twin rebuilds the identical vectors in SQL, so the inference
+    chain is hash-checked."""
+    from pdf_to_text_spark.operators.embed import centrality_topk_from_text
+
+    d = _t(spark, sf, "documents")
+    return centrality_topk_from_text(d, "text", "doc_id", "source", k=3, dim=16)
+
+
 def _q24_filename_ops(spark, sf):
     """F14 filename scalar helpers over a synthesized path column."""
     d = _t(spark, sf, "documents")
@@ -465,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_chart_parse": _q23_chart_parse,
         "q24_filename_ops": _q24_filename_ops,
         "q45_nfkc_lower": _q45_nfkc,
+        "q46_embed_centrality": _q46_embed_centrality,
     }
 
 
@@ -864,5 +876,42 @@ select doc_id,
        lower(regexp_replace(text, '[^\\x00-\\x7F]+', ' ', 'g'))
          || '{unicodedata.normalize("NFKC", NFKC_PROBE).lower()}' as norm
 from documents
+""",
+        # q46: rebuild the feature-hash embedding exactly (same md5
+        # bucket/sign spec as operators/embed.py), then replay the
+        # centrality chain
+        "q46_embed_centrality": """
+with tok as (
+  select doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> length(x) > 0)) as w
+  from documents),
+h as (select doc_id, ('0x' || substr(md5(w), 1, 8))::bigint as h from tok),
+comp as (select doc_id, h % 16 as b,
+                case when (h >> 31) & 1 = 0 then 1.0 else -1.0 end as s
+         from h),
+agg as (select doc_id, b, sum(s) as v from comp group by 1, 2),
+grid as (select d.doc_id, r.j
+         from (select distinct doc_id from documents) d
+         cross join (select unnest(range(0, 16)) as j) r),
+vec as (select g.doc_id, list(coalesce(a.v, 0.0) order by g.j) as v
+        from grid g left join agg a on a.doc_id = g.doc_id and a.b = g.j
+        group by g.doc_id),
+ev as (select s.source, v.doc_id, v.v
+       from vec v join documents s using (doc_id)
+       where list_dot_product(v.v, v.v) > 0),
+pairs as (
+  select a.source, a.doc_id as id_a,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) as c
+  from ev a join ev b on a.source = b.source and a.doc_id != b.doc_id),
+cent as (select source, id_a,
+                round(sum(c::decimal(28,12)), 6)::double as centrality
+         from pairs group by 1, 2)
+select source, id_a as doc_id, centrality, rn from (
+  select *, row_number() over (partition by source
+                               order by centrality desc, id_a asc) as rn
+  from cent) t
+where rn <= 3
 """,
     }

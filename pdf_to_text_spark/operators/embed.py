@@ -1,0 +1,136 @@
+"""Text→vector embedder (SURVEY M9) — model-inference-shaped operator
+so the similarity tier runs end-to-end from raw text.
+
+The reference embeds sentences with MiniLM
+(``/root/reference/5_NLP/nlp/summarizer_extractive.py:11-18``,
+model at ``5_NLP/nlp/models/miniLM/``). This container ships no model
+weights, so the default encoder is a deterministic FEATURE-HASH
+projection — but the operator has the exact shape of a production
+inference UDF: an Arrow-batched pandas UDF whose per-executor state
+(here a token→(bucket, sign) memo; in production the loaded model)
+initializes once per worker, consumes a text batch, and emits
+``array<double>``. Swapping in a real model is replacing
+``_embed_batch``'s body with ``model.encode(batch)`` — the Spark
+plumbing (batch shape, output schema, executor-singleton init) is
+identical, which is the point: at 100 TB the embedding happens INSIDE
+the job, not as a precomputed side table.
+
+Portability: the hash family is md5 (bit-identical in Python's hashlib,
+Spark ``F.md5`` and DuckDB ``md5``), so the DuckDB oracle reproduces
+every vector exactly — the embedder is hash-CHECKED end to end, not
+just rows-checked. Frozen spec per token w (lowercase ``[a-z0-9]+``
+runs, multiplicity kept):
+
+    h      = int(md5(w)[:8 hex], 16)          # 32-bit
+    bucket = h % dim
+    sign   = +1 if (h >> 31) & 1 == 0 else −1
+    v[bucket] += sign
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+EMBED_DIM = 16
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+# executor-singleton state (the "loaded model" analog): token hashes
+# repeat heavily across documents, so memoizing (bucket, sign) per token
+# turns the md5 into a dict hit for all but the first occurrence
+_memo: dict[str, tuple[int, float]] = {}
+
+
+def _bucket_sign(w: str, dim: int) -> tuple[int, float]:
+    got = _memo.get(w)
+    if got is None:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        got = (h % dim, 1.0 if (h >> 31) & 1 == 0 else -1.0)
+        if len(_memo) < 1_000_000:  # bound executor memory
+            _memo[w] = got
+    return got
+
+
+def _embed_one(text: str | None, dim: int) -> list[float]:
+    v = [0.0] * dim
+    if text:
+        for w in _TOKEN_RE.split(text.lower()):
+            if w:
+                b, s = _bucket_sign(w, dim)
+                v[b] += s
+    return v
+
+
+def embed_text_udf(dim: int = EMBED_DIM):
+    """Arrow-batched text→vector UDF (the M9 inference slot)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed_batch(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _embed_one(t, dim))
+
+    return _embed_batch
+
+
+def with_embedding(
+    df: DataFrame, text_col: str = "text", out_col: str = "embedding", dim: int = EMBED_DIM
+) -> DataFrame:
+    """Append an embedding column. Scale: embarrassingly parallel
+    projection — no shuffle; Arrow batches bound per-worker memory."""
+    return df.withColumn(out_col, embed_text_udf(dim)(F.col(text_col)))
+
+
+def _sq_norm(v: Column) -> Column:
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def centrality_topk_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """The reference's extractive-summarizer chain run from RAW TEXT
+    (prepare → embed → cosine matrix → row-sum → top-k,
+    ``summarizer_extractive.py:25-39``), distributed: embed (no
+    shuffle) → within-group self-join (group = blocking key) → exact
+    decimal-summed centrality → rank window. Zero-vector rows (no
+    tokens survive hashing) are excluded before pairing — a 0/0 cosine
+    is NaN and not portable. Output: (group, id, centrality, rn).
+    """
+    from pdf_to_text_spark.operators.similarity import cosine
+
+    e = with_embedding(df, text_col, "v", dim).select(group_col, id_col, "v")
+    e = e.filter(_sq_norm(F.col("v")) > 0)
+    a = e.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["grp"]).filter(F.col("id_a") != F.col("id_b"))
+    cent = pairs.groupBy("grp", "id_a").agg(
+        # decimal addends: order-independent rounded sum (oracle parity)
+        F.round(F.sum(cosine(F.col("va"), F.col("vb")).cast("decimal(28,12)")), 6)
+        .cast("double")
+        .alias("centrality")
+    )
+    w = W.partitionBy("grp").orderBy(F.desc("centrality"), F.asc("id_a"))
+    return (
+        cent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id_a").alias(id_col),
+            "centrality",
+            "rn",
+        )
+    )

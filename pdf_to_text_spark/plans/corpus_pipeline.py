@@ -26,6 +26,19 @@ from pdf_to_text_spark.operators.extract import extract_documents_fused
 from pdf_to_text_spark.operators.textstats import lang_id, quality_score
 
 
+def near_dup_drop(df: DataFrame, pairs: DataFrame, id_col: str = "url") -> DataFrame:
+    """PAIRWISE near-dup removal: for every candidate pair (id_a, id_b)
+    with id_a < id_b, drop id_b. NOT transitive-closure clustering — in
+    a chain a~b~c (a≁c) BOTH b and c are dropped (the drop set comes
+    from all pairs before any removal), so only chain heads survive.
+    Chosen because it is deterministic under any partitioning and one
+    shuffle, where connected components is an iterative multi-round
+    shuffle at 100 TB; it errs toward dropping more, the right bias for
+    training-corpus hygiene. Pinned by tests/test_corpus_pipeline.py."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 def build_training_corpus(
     spark: SparkSession,
     pages_path: str,
@@ -65,26 +78,27 @@ def build_training_corpus(
     quality_pass = scored.filter(gate).select("url", "extracted_text")
     n_quality = quality_pass.count()
 
-    # exact dedup: keep the lexicographically-smallest url per digest
-    # (shuffles the 32-byte digest, never the text)
+    # exact dedup: keep the lexicographically-smallest url per digest.
+    # ONE shuffle — rank rows within each digest partition and keep
+    # rank 1 (the groupBy+semi-join alternative shuffles the text
+    # twice: once for the agg, once to join the keep-set back)
+    from pyspark.sql import Window as W
+
     hashed = quality_pass.select("url", "extracted_text", F.md5("extracted_text").alias("h"))
-    keep_urls = hashed.groupBy("h").agg(F.min("url").alias("url"))
-    # left_semi on url — keep_urls is O(unique docs), so no broadcast
-    # hint: AQE picks broadcast only when the keep set is actually small
-    exact_unique = hashed.join(keep_urls.select("url"), "url", "left_semi").select(
-        "url", "extracted_text"
+    rn = F.row_number().over(W.partitionBy("h").orderBy("url"))
+    exact_unique = (
+        hashed.withColumn("_rn", rn).filter(F.col("_rn") == 1).select("url", "extracted_text")
     )
     exact_unique = exact_unique.cache()
     n_exact = exact_unique.count()
 
-    # near-dup: LSH candidates colliding on ≥ near_dup_min_bands bands
-    # are duplicates; drop the higher url of each pair
+    # near-dup removal: LSH candidates colliding on ≥ near_dup_min_bands
+    # bands are duplicates; semantics = pairwise drop (see near_dup_drop)
     pairs = minhash_lsh_pairs(
         exact_unique, text_col="extracted_text", id_col="url",
         num_hashes=num_hashes, bands=bands,
     ).filter(F.col("n_bands") >= near_dup_min_bands)
-    drop = pairs.select(F.col("id_b").alias("url")).distinct()
-    final = exact_unique.join(drop, "url", "left_anti")
+    final = near_dup_drop(exact_unique, pairs, "url")
     final.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     n_final = spark.read.parquet(f"{out_dir}/corpus").count()
 

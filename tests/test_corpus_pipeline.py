@@ -48,3 +48,36 @@ def test_quality_gate_filters(spark, corpus_dir, tmp_path):
     loose = build_training_corpus(spark, staged, str(tmp_path / "o2"), min_quality=0.0)
     assert strict["quality_pass"] < loose["quality_pass"]
     assert strict["final"] <= loose["final"]
+
+
+def test_near_dup_chain_semantics(spark):
+    """Pin the pairwise-drop rule on a similarity chain a~b~c (a≁c):
+    BOTH b and c are dropped — the drop set is computed from all pairs
+    before any removal, so only chain heads survive."""
+    from pdf_to_text_spark.plans.corpus_pipeline import near_dup_drop
+
+    docs = spark.createDataFrame(
+        [("a", "t"), ("b", "t"), ("c", "t"), ("d", "t")], "url string, extracted_text string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b", 4), ("b", "c", 4)], "id_a string, id_b string, n_bands int"
+    )
+    kept = sorted(r["url"] for r in near_dup_drop(docs, pairs).collect())
+    assert kept == ["a", "d"]
+
+
+def test_exact_dedup_single_shuffle(spark, corpus_dir, tmp_path):
+    """The exact-dedup stage must be ONE exchange on the digest — the
+    window rank replaces the old groupBy + semi-join (two text
+    shuffles). Plan-level guard on the stage in isolation."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"text {i % 7}") for i in range(50)], "url string, extracted_text string"
+    )
+    hashed = df.select("url", "extracted_text", F.md5("extracted_text").alias("h"))
+    rn = F.row_number().over(W.partitionBy("h").orderBy("url"))
+    uniq = hashed.withColumn("_rn", rn).filter(F.col("_rn") == 1).select("url", "extracted_text")
+    plan = uniq._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert uniq.count() == 7
