@@ -413,6 +413,21 @@ def _q23_chart_parse(spark, sf):
     )
 
 
+def _q25_markdown_report(spark, sf):
+    """K6 markdown sink: blueprint → report string (the reference's
+    create_markdown_report), composed on q22's deterministic blueprint."""
+    from pdf_to_text_spark.operators.blueprint import blueprint_to_markdown, text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    md_src = F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
+    )
+    return d.select(
+        "doc_id", blueprint_to_markdown(text_to_blueprint(md_src)).alias("report")
+    )
+
+
 def _q46_embed_centrality(spark, sf):
     """M9 end-to-end: raw text → feature-hash embedder (Arrow pandas
     UDF, md5-portable) → per-source cosine centrality → top-3. The
@@ -475,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_blueprint_explode": _q22_blueprint,
         "q23_chart_parse": _q23_chart_parse,
         "q24_filename_ops": _q24_filename_ops,
+        "q25_markdown_report": _q25_markdown_report,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -829,6 +845,40 @@ select doc_id, slide_no,
        greatest(len(ls) - 1, 0) as n_points
 from lines
 """,
+        # q25: q22's blueprint CTEs + the markdown formatting rules
+        "q25_markdown_report": """
+with md as (
+  select doc_id,
+         '# doc ' || doc_id || chr(10) ||
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '\\. ', '.' || chr(10) || '- ', 'g') as m
+  from documents),
+secs as (
+  select doc_id,
+         list_filter(string_split(regexp_replace(m, '\\n(#+ )', chr(1) || '\\1', 'g'), chr(1)),
+                     s -> length(trim(s)) > 0) as ss
+  from md),
+ex as (
+  select doc_id,
+         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
+  from secs),
+lines as (
+  select doc_id, u.slide_no as slide_no,
+         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) as ls
+  from ex),
+slide as (
+  select doc_id, slide_no,
+         '## ' || regexp_replace(ls[1], '^#+ ', '') || chr(10) ||
+         array_to_string(list_transform(
+           list_transform(ls[2:], x -> regexp_replace(x, '^[*•-] ', '')),
+           p -> '- ' || p || chr(10)), '') || chr(10) as smd
+  from lines)
+select doc_id,
+       '# Presentation Content Report' || chr(10) || chr(10) ||
+       string_agg(smd, '' order by slide_no) as report
+from slide group by doc_id
+""",
         "q23_chart_parse": f"""
 with src as (
   select doc_id,
@@ -900,11 +950,15 @@ vec as (select g.doc_id, list(coalesce(a.v, 0.0) order by g.j) as v
 ev as (select s.source, v.doc_id, v.v
        from vec v join documents s using (doc_id)
        where list_dot_product(v.v, v.v) > 0),
+-- normalize once per doc (the Spark side does the same; bit-identical:
+-- same per-element division, same left-to-right dot)
+nv as (select source, doc_id,
+              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) as vn
+       from ev),
 pairs as (
   select a.source, a.doc_id as id_a,
-         list_dot_product(a.v, b.v) /
-         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) as c
-  from ev a join ev b on a.source = b.source and a.doc_id != b.doc_id),
+         list_dot_product(a.vn, b.vn) as c
+  from nv a join nv b on a.source = b.source and a.doc_id != b.doc_id),
 cent as (select source, id_a,
                 round(sum(c::decimal(28,12)), 6)::double as centrality
          from pairs group by 1, 2)

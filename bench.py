@@ -104,7 +104,11 @@ def main() -> None:
             # plan to run while keeping the collected result tiny
             n = df.select(
                 F.count("*").alias("n"),
-                F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+                # decimal accumulator: a long sum of 64-bit hashes
+                # overflows (ANSI mode raises)
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+                ).alias("h"),
             ).collect()[0]["n"]
             timings[name] = round(time.perf_counter() - t0, 3)
             _ = n

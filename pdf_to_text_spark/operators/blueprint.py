@@ -65,6 +65,26 @@ def blueprint_json_roundtrip(df: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def blueprint_to_markdown(bp: Column) -> Column:
+    """K6 markdown sink: blueprint → report string, the reference's
+    ``create_markdown_report`` (core_document_generator.py:415-434):
+    ``# Presentation Content Report`` header, then per slide
+    ``## <title>`` + one ``- <point>`` line per bullet + a blank line.
+    Pure Catalyst — the writer itself is ``df.write.text`` downstream."""
+    slide_md = F.transform(
+        bp,
+        lambda s: F.concat(
+            F.lit("## "), s["title"], F.lit("\n"),
+            F.array_join(
+                F.transform(s["content"], lambda p: F.concat(F.lit("- "), p, F.lit("\n"))),
+                "",
+            ),
+            F.lit("\n"),
+        ),
+    )
+    return F.concat(F.lit("# Presentation Content Report\n\n"), F.array_join(slide_md, ""))
+
+
 def paginate_slides(df: DataFrame, id_col: str, line_col: str, max_lines: int = 12) -> DataFrame:
     """A7: accumulate lines, flush every ``max_lines`` (12/slide in
     ppt_formation.py:98) — window row_number → page group."""

@@ -213,7 +213,11 @@ def ngram_jaccard_pairs(
     (both join sides + sizes) — cached so the explode evaluates once
     (at scale it is a materialized intermediate).
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n)
+    # cache the RAW shingle table: the explode (interpreted higher-order
+    # exprs — the expensive part) runs once; the hot-list groupBy and
+    # the downstream consumers all read the cache, and the broadcast
+    # anti-join applied per consumer is cheap by comparison
+    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -222,7 +226,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -106,20 +106,34 @@ def centrality_topk_from_text(
     tokens survive hashing) are excluded before pairing — a 0/0 cosine
     is NaN and not portable. Output: (group, id, centrality, rn).
     """
-    from pdf_to_text_spark.operators.similarity import cosine
+    from pdf_to_text_spark.operators.similarity import dot
 
     e = with_embedding(df, text_col, "v", dim).select(group_col, id_col, "v")
     e = e.filter(_sq_norm(F.col("v")) > 0)
+    # L2-normalize ONCE per doc so each pair costs a single dot product
+    # — cosine(va, vb) recomputes both norms per pair, i.e. 3 array
+    # traversals × O(pairs) instead of O(docs). norm is projected as its
+    # own column first: an expression referenced inside a transform
+    # lambda re-evaluates PER ELEMENT (measured 32× blowup elsewhere).
+    e = e.withColumn("_n", F.sqrt(_sq_norm(F.col("v"))))
+    e = e.select(
+        group_col, id_col,
+        F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("vn"),
+    )
+    # both sides of the self-join read this frame: cache so the embed
+    # UDF evaluates once per doc, not once per join side (at production
+    # scale the embedding table is a materialized intermediate instead)
+    e = e.cache()
     a = e.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), F.col("vn").alias("va")
     )
     b = e.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id_b"), F.col("vn").alias("vb")
     )
     pairs = a.join(b, ["grp"]).filter(F.col("id_a") != F.col("id_b"))
     cent = pairs.groupBy("grp", "id_a").agg(
         # decimal addends: order-independent rounded sum (oracle parity)
-        F.round(F.sum(cosine(F.col("va"), F.col("vb")).cast("decimal(28,12)")), 6)
+        F.round(F.sum(dot(F.col("va"), F.col("vb")).cast("decimal(28,12)")), 6)
         .cast("double")
         .alias("centrality")
     )

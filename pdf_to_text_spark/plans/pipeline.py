@@ -156,7 +156,9 @@ def run_extraction(
     run_id = uuid.uuid4().hex[:12]
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
 
-    pages = spark.read.parquet(in_path)
+    # project the shuffle payload down to what extraction consumes —
+    # every other column would ride the explicit repartition for nothing
+    pages = spark.read.parquet(in_path).select("url", "html", "text")
     pages = pages.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
 
     done = committed_buckets(out_dir) if resume else set()

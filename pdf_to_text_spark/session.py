@@ -39,6 +39,12 @@ def get_spark(
         # batch of multi-MB documents fits executor memory at 100 TB scale
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # task-side output commit (v2): tasks move their files into the
+        # destination at task-commit instead of a sequential driver-side
+        # merge at job-commit — with 64 bucket directories the v1 merge
+        # is a serial O(n_buckets × files) rename loop on the driver,
+        # pure fixed cost that suppresses scaling efficiency
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -77,3 +77,20 @@ def test_scan_document_dir(spark, tmp_path):
     assert pages.count() == 2
     out = {r["route"] for r in extract_documents(pages).collect()}
     assert out == {"pdf", "html"}
+
+
+def test_blueprint_to_markdown_reference_format(spark):
+    """Byte-parity with create_markdown_report
+    (/root/reference/2_OpenCV_OCR/core_document_generator.py:415-434)."""
+    from pdf_to_text_spark.operators.blueprint import blueprint_to_markdown, text_to_blueprint
+
+    md_in = "# Intro\n- point one\n- point two\n# Empty Slide\n# Next\n- only"
+    df = spark.createDataFrame([(md_in,)], "t string")
+    got = df.select(blueprint_to_markdown(text_to_blueprint(F.col("t"))).alias("r")).collect()[0]["r"]
+    expected = (
+        "# Presentation Content Report\n\n"
+        "## Intro\n- point one\n- point two\n\n"
+        "## Empty Slide\n\n"
+        "## Next\n- only\n\n"
+    )
+    assert got == expected
