@@ -57,3 +57,49 @@ def test_filename_helpers_no_extension(spark):
     ).collect()[0]
     assert row.ext == ""
     assert row.stem == "README"
+
+
+def test_chart_parse_fuzz_vs_reference_algorithm(spark):
+    """300 seeded adversarial chart strings: the Catalyst parse must
+    equal a pure-Python port of the reference's algorithm
+    (pptx_designer.py:131-157) field-for-field. One Spark job total."""
+    import random
+    import re as _re
+
+    def ref_parse(s):
+        parts = s.split(",")
+        if len(parts) < 3:
+            return None
+        out = []
+        for part in parts[2:]:
+            if ":" in part:
+                label, value = part.split(":", 1)
+                try:
+                    v = float(_re.sub(r"[^0-9.]", "", value))
+                except ValueError:
+                    v = 0.0
+                out.append((label.strip(), v))
+        return (parts[0].strip(), parts[1].strip(), out)
+
+    rng = random.Random(7)
+    alphabet = "abz 09.:$%-•\t:."
+    strings = []
+    for i in range(300):
+        n_parts = rng.randint(1, 8)
+        parts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+                 for _ in range(n_parts)]
+        strings.append(",".join(parts))
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, cs string")
+    got = {
+        r["i"]: r["ch"]
+        for r in df.select("i", X.parse_chart_string(F.col("cs")).alias("ch")).collect()
+    }
+    for i, s in enumerate(strings):
+        exp = ref_parse(s)
+        g = got[i]
+        if exp is None:
+            assert g is None, (i, s)
+            continue
+        assert g is not None, (i, s)
+        assert (g.title, g.series) == (exp[0], exp[1]), (i, s)
+        assert [(p.category, p.value) for p in g.points] == exp[2], (i, s)

@@ -53,3 +53,34 @@ def test_topk_uses_take_ordered(spark):
 
     plan = _plan(brute_force_topk(e, [1.0] * 64, k=10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_key_caps_use_broadcast_anti_join(spark):
+    """The dedup hot-key caps must prune via a BROADCAST anti-join (the
+    hot list is tiny by construction) — a shuffled anti-join would add a
+    full shuffle of the shingle/band table at 100 TB."""
+    from pdf_to_text_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for df in (
+        ngram_jaccard_pairs(docs, threshold=0.2, max_df=5),
+        minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket=5),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_embed_centrality_caches_vectors(spark):
+    """Both sides of the q46 self-join must read the cached vector frame
+    (one embed-UDF evaluation per doc, not one per join side)."""
+    from pdf_to_text_spark.operators.embed import centrality_topk_from_text
+
+    docs = spark.createDataFrame(
+        [("g", i, f"some words {i} alpha") for i in range(10)],
+        "source string, doc_id long, text string",
+    )
+    plan = _plan(centrality_topk_from_text(docs))
+    assert plan.count("InMemoryTableScan") >= 2, plan
