@@ -30,6 +30,8 @@ SF0001 = "/root/testdata/sf0.001"
 QVEC = [1.0] * 64
 # deterministic LSH hyperplanes: plane i, component j = +1 if (i*7+j*13)%5<2 else -1
 PLANES = [[1.0 if (i * 7 + j * 13) % 5 < 2 else -1.0 for j in range(64)] for i in range(4)]
+# deterministic IVF centroids (8 cells): component j of centroid i
+CENTROIDS = [[((i * 5 + j * 11) % 7 - 3) / 3.0 for j in range(64)] for i in range(8)]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -320,6 +322,12 @@ def _q41_ann_lsh(spark, sf):
     return S.lsh_topk(_t(spark, sf, "embeddings"), QVEC, PLANES, k=10)
 
 
+def _q47_ann_ivf(spark, sf):
+    """ANN top-k via IVF coarse quantization (nprobe=2 of 8 cells) —
+    the brief's scale path where the cell is a partition key."""
+    return S.ivf_topk(_t(spark, sf, "embeddings"), QVEC, CENTROIDS, nprobe=2, k=10)
+
+
 def _q42_pairwise_label(spark, sf):
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 120)
     return S.pairwise_topk_per_label(e, k=3)
@@ -484,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_simhash": _q34_simhash,
         "q40_ann_topk_bruteforce": _q40_ann_bruteforce,
         "q41_ann_topk_lsh": _q41_ann_lsh,
+        "q47_ann_topk_ivf": _q47_ann_ivf,
         "q42_pairwise_topk_per_label": _q42_pairwise_label,
         "q43_centrality_topk": _q43_centrality_topk,
         "q44_stopword_removal": _q44_stopword_removal,
@@ -566,6 +575,18 @@ def oracle_sql() -> dict[str, str]:
     for i, p in enumerate(PLANES):
         if sum(a * b for a, b in zip(QVEC, p)) > 0:
             q_bucket |= 1 << i
+
+    # IVF: the 8 centroid dot products as one SQL list; the query's
+    # probe cells computed once in Python (a free choice, embedded as
+    # literals on both engines)
+    cdots = "[" + ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(str(v) for v in c)
+        + "]::DOUBLE[])"
+        for c in CENTROIDS
+    ) + "]"
+    cscores = [(sum(a * b for a, b in zip(QVEC, c)), i) for i, c in enumerate(CENTROIDS)]
+    probe_cells = ",".join(str(i) for _, i in sorted(cscores, key=lambda t: (-t[0], t[1]))[:2])
 
     return {
         "q01_pricing_summary": """
@@ -785,6 +806,14 @@ order by score desc, vec_id asc limit 10
         "q41_ann_topk_lsh": f"""
 select vec_id, {cos} as score from embeddings
 where ({plane_bucket}) = {q_bucket}
+order by score desc, vec_id asc limit 10
+""",
+        "q47_ann_topk_ivf": f"""
+select vec_id, {cos} as score from (
+  select vec_id, embedding,
+         list_position({cdots}, list_max({cdots})) - 1 as cell
+  from embeddings) t
+where cell in ({probe_cells})
 order by score desc, vec_id asc limit 10
 """,
         "q43_centrality_topk": """

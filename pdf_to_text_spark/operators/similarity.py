@@ -87,6 +87,46 @@ def lsh_topk(
     )
 
 
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantizer: cell = argmax_i dot(vec, centroid_i), ties
+    to the lowest index (array_position returns the FIRST match). With
+    deterministic centroid literals the assignment is reproducible on
+    any engine — the DuckDB oracle replays it exactly."""
+    v = vec.cast("array<double>")
+    dots = F.array(*[dot(v, F.lit(c).cast("array<double>")) for c in centroids])
+    return F.array_position(dots, F.array_max(dots)) - 1
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k, IVF-style (the task brief's alternative to LSH): score
+    only rows whose coarse cell is among the query's ``nprobe`` nearest
+    cells. At 100 TB the cell is a partition/cluster key, so the probe
+    filter becomes partition pruning — the scan itself skips
+    (n_cells − nprobe)/n_cells of the data; here it is a predicate on a
+    projected column (same semantics, single-node layout)."""
+    scores = [
+        (sum(a * b for a, b in zip(query_vec, c)), i) for i, c in enumerate(centroids)
+    ]
+    probe_cells = [i for _, i in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    q = F.lit(query_vec).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

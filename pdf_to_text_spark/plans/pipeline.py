@@ -125,6 +125,10 @@ def size_aware_repartition(
     docs pack evenly. Whales: one row per task via round-robin
     ``repartition()`` on a whale-only frame — AQE cannot split a
     single oversized *row*, so we place whales explicitly.
+
+    General-purpose operator for flows without a bucketed write; the
+    production extraction job uses ``bucket_colocated_repartition``
+    instead (same skew guarantees, one shuffle for shuffle+write).
     """
     is_whale = F.octet_length(bytes_col) > F.lit(whale_bytes)
     salt = F.pmod(F.xxhash64("url", F.lit(0x5A17)), F.lit(salt_mod))
@@ -132,6 +136,44 @@ def size_aware_repartition(
         n_partitions, F.col("url"), salt
     )
     whales = df.filter(is_whale).repartition(max(2, n_partitions // 2))
+    return small.unionByName(whales)
+
+
+def bucket_colocated_repartition(
+    df: DataFrame,
+    n_buckets: int,
+    bytes_col: str = "html",
+    whale_bytes: int = DEFAULT_WHALE_BYTES,
+    whale_parallelism: int = 16,
+) -> DataFrame:
+    """ONE shuffle for the whole extraction job.
+
+    Small rows hash-shuffle on the OUTPUT bucket key, so after
+    extraction each task already owns whole buckets and the partitioned
+    write needs no second repartition. The previous design shuffled the
+    raw corpus on (url, salt) for balance AND the extracted text on
+    bucket for write co-location — two full corpus passes through the
+    shuffle. Single-node A/B at 115k docs: wall-clock is a wash (the
+    coarser bucket-granularity tasks add straggler tail that offsets
+    the saved shuffle on one shared disk), but on a real cluster the
+    second shuffle is a full NETWORK pass of the extracted corpus —
+    eliminating it is the 100 TB win this layout is for.
+
+    Skew guarantees are unchanged in kind:
+    - input-order/key skew: bucket = pmod(xxhash64(url), n_buckets) is
+      itself the salt — any adversarial input layout randomizes;
+    - granularity: set n_buckets ≥ 4× cluster cores (the documented
+      sizing rule), so bucket-cost variance amortizes across waves; the
+      shuffle targets 4×n_buckets slots so hash collisions between
+      buckets rarely stack two buckets on one task;
+    - row-size skew (the one AQE cannot fix — a single oversized row):
+      whales are still split onto their own frame, one-per-task.
+    """
+    is_whale = F.octet_length(bytes_col) > F.lit(whale_bytes)
+    small = df.filter(~is_whale | is_whale.isNull()).repartition(
+        n_buckets * 4, F.col("bucket")
+    )
+    whales = df.filter(is_whale).repartition(max(2, whale_parallelism))
     return small.unionByName(whales)
 
 
@@ -169,22 +211,27 @@ def run_extraction(
     if done:
         pages = pages.filter(F.col("bucket").isin(pending))
 
-    pages = size_aware_repartition(pages, n_partitions, whale_bytes=whale_bytes)
+    # single shuffle: co-locate the INPUT by output bucket (each task
+    # then owns whole buckets through parse AND write — no second
+    # repartition of the extracted text, and the write still emits
+    # O(n_buckets) files, never O(n_tasks × n_buckets): the small-file
+    # explosion is the classic 100 TB killer, measured 5× pipeline cost
+    # at bench scale without co-location).
+    staged = bucket_colocated_repartition(
+        pages, n_buckets, whale_bytes=whale_bytes,
+        whale_parallelism=max(2, n_partitions // 2),
+    )
 
     extract = extract_documents_fused if fused else extract_documents
-    result = extract(pages, threshold=threshold).withColumn(
+    # re-derive bucket after extraction (a projection — rows never move,
+    # so each task still owns exactly its buckets)
+    result = extract(staged, threshold=threshold).withColumn(
         "bucket", bucket_of(F.col("url"), n_buckets)
     )
 
-    # co-locate the output by bucket BEFORE the partitioned write: each
-    # task then owns whole buckets, so the write emits O(n_buckets)
-    # files instead of O(n_tasks × n_buckets) — the small-file explosion
-    # is the classic 100 TB killer (measured 5× pipeline cost at bench
-    # scale before this repartition).
-    co_located = result.repartition(n_buckets, "bucket")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_path = os.path.join(out_dir, "extracted")
-    co_located.write.partitionBy("bucket").mode("overwrite").parquet(out_path)
+    result.write.partitionBy("bucket").mode("overwrite").parquet(out_path)
 
     # lineage from the WRITTEN output (single extraction pass, no
     # persist): a columnar read of 3 small columns — the text and html
