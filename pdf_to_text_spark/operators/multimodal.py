@@ -1,13 +1,20 @@
 """Multimodal column plumbing (task brief): image/audio/video as opaque
 ``binary`` columns with typed metadata.
 
-The decode step is STUBBED (image/audio libs are not in this
-container): ``decode_image_meta`` runs a deterministic fake decoder —
-it parses real PNG/JPEG headers when the magic bytes are present and
-otherwise emits a seeded fake. The Spark-side plumbing — schema,
-``mapInPandas`` batch shape, partition behavior — is real and tested;
-swapping the fake for PIL/ffmpeg is a one-function change inside the
-batch loop.
+Decode status by format (honest inventory):
+- **PNG**: REAL full pixel decode (``core.mediacodec`` — zlib inflate +
+  all five scanline filters), feeding real luma-thumbnail signatures
+  into the cosine near-dup tier (``image_signatures``).
+- **WAV** (PCM16): REAL decode — channels/rate/duration/RMS.
+- **JPEG/MP4**: deterministic fake (entropy coders genuinely need
+  native libs absent from this container); rows are labeled
+  ``decoder='fake'`` so downstream can't mistake them for real.
+- video frame sampling: explicit ``NotImplementedError`` stub.
+
+The Spark-side plumbing — schema, ``mapInPandas`` batch shape,
+partition behavior, row-level error tolerance — is identical for real
+and fake paths; swapping the fakes for PIL/ffmpeg changes one function
+inside the batch loop.
 """
 
 from __future__ import annotations
@@ -82,6 +89,85 @@ def decode_image_meta(df: DataFrame, bin_col: str = "media", id_col: str = "medi
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_id long, kind string, decoder string, width int, height int, channels int, "
+    "sample_rate int, duration_s double, rms double, n_bytes long, decode_error string"
+)
+
+
+def decode_media_features(
+    df: DataFrame, bin_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """Real decode + feature extraction where the format allows
+    (PNG pixels, WAV samples), labeled fake elsewhere — one mapInPandas
+    pass, row-level error tolerance throughout."""
+    from pdf_to_text_spark.core.mediacodec import decode_png, decode_wav
+
+    cols = [c.split(" ")[0] for c in MEDIA_FEATURES_SCHEMA.split(", ")]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(data) if data is not None else b""
+                kind = _sniff_kind(data)
+                r = dict.fromkeys(cols)
+                r.update(media_id=mid, kind=kind, n_bytes=len(data), decoder="none")
+                try:
+                    if kind == "png":
+                        w, h, ch, _px = decode_png(data)
+                        r.update(decoder="real", width=w, height=h, channels=ch)
+                    elif kind == "wav":
+                        ch, rate, _n, dur, rms = decode_wav(data)
+                        r.update(
+                            decoder="real", channels=ch, sample_rate=rate,
+                            duration_s=dur, rms=rms,
+                        )
+                    elif kind in ("jpeg", "mp4"):
+                        w, h = _fake_decode(data)
+                        r.update(decoder="fake", width=w, height=h)
+                except Exception as e:  # noqa: BLE001 — row tolerance (MediaError et al.)
+                    r.update(kind="error", decoder="none", decode_error=str(e))
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def image_signatures(
+    df: DataFrame, bin_col: str = "media", id_col: str = "media_id", dim: int = 4
+) -> DataFrame:
+    """PNG binary → REAL luma-thumbnail signature (``array<double>``,
+    length dim²) — the image analog of a text embedding; feed it to the
+    similarity tier (``pairwise_topk_per_label``/``brute_force_topk``)
+    for embedding-cosine near-dup over IMAGES. Non-PNG/undecodable rows
+    are dropped (they carry no real signal)."""
+    from pdf_to_text_spark.core.mediacodec import decode_png, gray_thumbnail
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for mid, data in zip(pdf[id_col], pdf[bin_col]):
+                if data is None:
+                    continue
+                try:
+                    w, h, ch, px = decode_png(bytes(data))
+                except Exception:  # noqa: BLE001 — row tolerance
+                    continue
+                ids.append(mid)
+                sigs.append(gray_thumbnail(w, h, ch, px, dim))
+            # dtype=object: pandas would otherwise infer a 2-D numeric
+            # block for equal-length lists, which Arrow can't convert
+            # to list<double>
+            yield pd.DataFrame(
+                {"media_id": ids, "signature": pd.Series(sigs, dtype=object)}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema="media_id long, signature array<double>"
+    )
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30):
