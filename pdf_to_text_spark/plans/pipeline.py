@@ -150,14 +150,17 @@ def bucket_colocated_repartition(
 
     Small rows hash-shuffle on the OUTPUT bucket key, so after
     extraction each task already owns whole buckets and the partitioned
-    write needs no second repartition. The previous design shuffled the
-    raw corpus on (url, salt) for balance AND the extracted text on
-    bucket for write co-location — two full corpus passes through the
-    shuffle. Single-node A/B at 115k docs: wall-clock is a wash (the
-    coarser bucket-granularity tasks add straggler tail that offsets
-    the saved shuffle on one shared disk), but on a real cluster the
-    second shuffle is a full NETWORK pass of the extracted corpus —
-    eliminating it is the 100 TB win this layout is for.
+    write needs no second repartition — one less full-corpus shuffle,
+    which on a real cluster is a full NETWORK pass of the extracted
+    text. Measured single-node tradeoff (115k docs, interleaved A/B):
+    a wash at 16 cores (39.1 s vs 40.6 s) but +23% wall at 4 cores
+    (110 s vs 136 s) — the coarse bucket-granularity tasks pack badly
+    at low parallelism (sub-bucket salting was tried and measured WORSE,
+    139 s, plus 4× the files). Hence ``run_extraction`` defaults to
+    output-side co-location (fastest at every measured level on shared-
+    disk local mode) and exposes this input-side variant via
+    ``colocate="input"`` for network-bound clusters where the saved
+    shuffle pass dominates.
 
     Skew guarantees are unchanged in kind:
     - input-order/key skew: bucket = pmod(xxhash64(url), n_buckets) is
@@ -188,13 +191,21 @@ def run_extraction(
     resume: bool = True,
     threshold: int = 250,
     fused: bool = True,
+    colocate: str = "output",
 ) -> dict:
     """Run the extraction job; returns a small summary dict.
 
     ``fused=True`` uses the single-UDF-stage operator (one pass over the
     shuffled input — profiled 4× less shuffle read than the 4-branch
     union); ``fused=False`` keeps the branch-filtered variant whose
-    text-layer fast path prunes the html column at the scan."""
+    text-layer fast path prunes the html column at the scan.
+
+    ``colocate`` picks where the bucket co-location shuffle happens:
+    ``"output"`` (default) = salted input repartition + repartition of
+    the extracted text before the write (fastest measured at every
+    local parallelism level); ``"input"`` = one shuffle total on the
+    bucket key (see ``bucket_colocated_repartition`` — the choice for
+    network-bound clusters). Both emit O(n_buckets) files."""
     run_id = uuid.uuid4().hex[:12]
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
 
@@ -211,23 +222,28 @@ def run_extraction(
     if done:
         pages = pages.filter(F.col("bucket").isin(pending))
 
-    # single shuffle: co-locate the INPUT by output bucket (each task
-    # then owns whole buckets through parse AND write — no second
-    # repartition of the extracted text, and the write still emits
-    # O(n_buckets) files, never O(n_tasks × n_buckets): the small-file
-    # explosion is the classic 100 TB killer, measured 5× pipeline cost
-    # at bench scale without co-location).
-    staged = bucket_colocated_repartition(
-        pages, n_buckets, whale_bytes=whale_bytes,
-        whale_parallelism=max(2, n_partitions // 2),
-    )
+    # co-location keeps the write at O(n_buckets) files, never
+    # O(n_tasks × n_buckets): the small-file explosion is the classic
+    # 100 TB killer (measured 5× pipeline cost at bench scale without
+    # co-location). Where the co-locating shuffle happens is the
+    # ``colocate`` tradeoff — see the docstring.
+    if colocate == "input":
+        staged = bucket_colocated_repartition(
+            pages, n_buckets, whale_bytes=whale_bytes,
+            whale_parallelism=max(2, n_partitions // 2),
+        )
+    elif colocate == "output":
+        staged = size_aware_repartition(pages, n_partitions, whale_bytes=whale_bytes)
+    else:
+        raise ValueError(f"colocate must be 'input' or 'output', got {colocate!r}")
 
     extract = extract_documents_fused if fused else extract_documents
-    # re-derive bucket after extraction (a projection — rows never move,
-    # so each task still owns exactly its buckets)
+    # re-derive bucket after extraction (a projection — rows never move)
     result = extract(staged, threshold=threshold).withColumn(
         "bucket", bucket_of(F.col("url"), n_buckets)
     )
+    if colocate == "output":
+        result = result.repartition(n_buckets, "bucket")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_path = os.path.join(out_dir, "extracted")
