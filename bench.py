@@ -33,6 +33,18 @@ from pdf_to_text_spark.plans.pipeline import run_extraction  # noqa: E402
 from pdf_to_text_spark.session import get_spark  # noqa: E402
 
 
+# Scratch space for shuffle spill + benchmark output. The sandbox has ONE
+# shared virtual disk (ext4 on /dev/vda, hypervisor-contended); on a real
+# N->4N-executor cluster both shuffle dirs and output storage (HDFS/S3)
+# scale per-node, so a fixed single-disk bandwidth would measure the
+# sandbox's storage, not the engine's scaling. tmpfs is the per-node-
+# storage stand-in (disclosed in BENCH/BASELINE.md); set
+# SPARK_GRAFT_SCRATCH=/tmp to measure through the shared disk instead.
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCRATCH", "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -60,7 +72,7 @@ def time_extraction(spark, corpus_dir: str, rows: int, repeats: int = 1) -> tupl
     noisy-neighbor interference on the shared sandbox host. Cold-start
     costs are per-process constants that a real cluster amortizes over
     hours — including them would measure JVM startup, not the engine."""
-    out = f"/tmp/sg_bench_out_{os.getpid()}"
+    out = f"{SCRATCH}/sg_bench_out_{os.getpid()}"
     best = float("inf")
     for i in range(repeats + 1):
         shutil.rmtree(out, ignore_errors=True)
@@ -85,7 +97,12 @@ def main() -> None:
     sf = _sf_of(sf_dir)
 
     corpus_dir, rows = bench_corpus(sf)
-    spark = get_spark(app_name=f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        app_name=f"bench-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.local.dir": f"{SCRATCH}/sg_spark_local_{os.getpid()}"},
+    )
 
     timings: dict[str, float] = {}
 
@@ -114,6 +131,7 @@ def main() -> None:
             _ = n
     total = round(sum(timings.values()), 3)
     spark.stop()
+    shutil.rmtree(f"{SCRATCH}/sg_spark_local_{os.getpid()}", ignore_errors=True)
 
     print(
         json.dumps(
