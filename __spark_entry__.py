@@ -463,6 +463,19 @@ def _q24_filename_ops(spark, sf):
     )
 
 
+def _q26_topic_route(spark, sf):
+    """P8 topic-vs-text heuristic as a named op: word count < 10 →
+    topic (title to expand), else body text
+    (core_document_generator.py:270-274)."""
+    d = _t(spark, sf, "documents")
+    first_line = F.split(F.col("text"), "\n", 2).getItem(0)
+    return d.select(
+        "doc_id",
+        X.token_count(first_line).alias("n_words"),
+        X.is_topic(first_line).alias("is_topic"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -500,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_chart_parse": _q23_chart_parse,
         "q24_filename_ops": _q24_filename_ops,
         "q25_markdown_report": _q25_markdown_report,
+        "q26_topic_route": _q26_topic_route,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -875,6 +889,18 @@ select doc_id, slide_no,
 from lines
 """,
         # q25: q22's blueprint CTEs + the markdown formatting rules
+        "q26_topic_route": f"""
+with fl as (
+  select doc_id, string_split(text, chr(10))[1] as first_line
+  from documents),
+w as (
+  select doc_id,
+         len(list_filter(regexp_split_to_array(first_line, '{_CLS}+'),
+                         x -> length(x) > 0)) as n_words
+  from fl)
+select doc_id, n_words::int as n_words, n_words < 10 as is_topic
+from w
+""",
         "q25_markdown_report": """
 with md as (
   select doc_id,

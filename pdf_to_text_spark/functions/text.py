@@ -102,6 +102,15 @@ def token_count(c: Column) -> Column:
     return F.size(F.filter(F.split(c, f"{CLS_A}+"), lambda s: F.length(s) > 0))
 
 
+def is_topic(c: Column, max_words: int = 10) -> Column:
+    """P8: topic-vs-text routing predicate — an input of fewer than 10
+    whitespace-separated words is a *topic* (a title to expand), else
+    body text (core_document_generator.py:270-274 ``len(input.split())
+    < 10``). Python ``str.split()`` drops empty tokens, so an
+    empty/blank string counts 0 words → topic; token_count matches."""
+    return token_count(c) < F.lit(max_words)
+
+
 # -------------------------------------------------- markdown / blueprint ops
 
 

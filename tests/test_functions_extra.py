@@ -103,3 +103,27 @@ def test_chart_parse_fuzz_vs_reference_algorithm(spark):
         assert g is not None, (i, s)
         assert (g.title, g.series) == (exp[0], exp[1]), (i, s)
         assert [(p.category, p.value) for p in g.points] == exp[2], (i, s)
+
+
+def test_is_topic_reference_semantics(spark):
+    """P8: < 10 whitespace-separated words => topic
+    (core_document_generator.py:270-274); Python str.split() parity on
+    empties/blank runs."""
+    cases = [
+        "graph algorithms",                      # 2 words -> topic
+        " ".join(f"w{i}" for i in range(9)),     # 9 -> topic
+        " ".join(f"w{i}" for i in range(10)),    # 10 -> text
+        "",                                      # 0 words -> topic
+        "   \t  ",                               # blank -> 0 words -> topic
+        "a\t b\n c  d\x0be f g h i j",           # mixed ws, 10 -> text
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    got = {
+        r["i"]: (r["n"], r["t"])
+        for r in df.select(
+            "i", X.token_count(F.col("s")).alias("n"), X.is_topic(F.col("s")).alias("t")
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        exp_n = len(s.split())
+        assert got[i] == (exp_n, exp_n < 10), (i, s, got[i])
