@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 
 from pdf_to_text_spark.core.textnorm import CLS_A
 from pdf_to_text_spark.functions import text as X
+from pdf_to_text_spark.functions.pdfsink import text_to_pdf
 from pdf_to_text_spark.operators import dedup as D
 from pdf_to_text_spark.operators import similarity as S
 from pdf_to_text_spark.operators import textstats as TS
@@ -476,6 +477,17 @@ def _q26_topic_route(spark, sf):
     )
 
 
+def _q27_pdf_sink(spark, sf):
+    """K3 PDF sink: text → complete single-page PDF, pure Catalyst
+    (reference exports via FPDF/reportlab, ppt_formation.py:51-60,
+    final_output_generator.py:11-19). The DuckDB twin rebuilds the
+    byte-exact document — xref offsets included — so the sink is
+    hash-checked; tests additionally pin writer→parser roundtrip."""
+    d = _t(spark, sf, "documents")
+    pdf = text_to_pdf(F.col("text"))
+    return d.select("doc_id", F.length(pdf).cast("long").alias("n_bytes"), pdf.alias("pdf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -514,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_filename_ops": _q24_filename_ops,
         "q25_markdown_report": _q25_markdown_report,
         "q26_topic_route": _q26_topic_route,
+        "q27_pdf_sink": _q27_pdf_sink,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -889,6 +902,59 @@ select doc_id, slide_no,
 from lines
 """,
         # q25: q22's blueprint CTEs + the markdown formatting rules
+        "q27_pdf_sink": r"""
+with lines as (
+  select doc_id,
+         list_transform(string_split(text, chr(10)),
+           l -> '(' || replace(replace(replace(
+                    regexp_replace(l, '[^ -~]', ' ', 'g'),
+                    '\', '\\'), '(', '\('), ')', '\)') || ') Tj') as shows
+  from documents),
+c as (
+  select doc_id,
+         'BT' || chr(10) || '/F1 12 Tf' || chr(10) || '72 720 Td' || chr(10)
+         || array_to_string(shows, chr(10) || '0 -14 TD' || chr(10))
+         || chr(10) || 'ET' as content
+  from lines),
+b as (
+  select doc_id,
+    '1 0 obj' || chr(10) || '<< /Type /Catalog /Pages 2 0 R >>'
+      || chr(10) || 'endobj' || chr(10) as b1,
+    '2 0 obj' || chr(10) || '<< /Type /Pages /Kids [3 0 R] /Count 1 >>'
+      || chr(10) || 'endobj' || chr(10) as b2,
+    '3 0 obj' || chr(10)
+      || '<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>'
+      || chr(10) || 'endobj' || chr(10) as b3,
+    '4 0 obj' || chr(10) || '<< /Length ' || length(content)::varchar || ' >>'
+      || chr(10) || 'stream' || chr(10) || content || chr(10) || 'endstream'
+      || chr(10) || 'endobj' || chr(10) as b4,
+    '5 0 obj' || chr(10) || '<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>'
+      || chr(10) || 'endobj' || chr(10) as b5
+  from c),
+o as (
+  select doc_id, b1, b2, b3, b4, b5,
+         9 as o1,
+         9 + length(b1) as o2,
+         9 + length(b1) + length(b2) as o3,
+         9 + length(b1) + length(b2) + length(b3) as o4,
+         9 + length(b1) + length(b2) + length(b3) + length(b4) as o5,
+         9 + length(b1) + length(b2) + length(b3) + length(b4) + length(b5) as xoff
+  from b),
+p as (
+  select doc_id,
+         '%PDF-1.4' || chr(10) || b1 || b2 || b3 || b4 || b5
+         || 'xref' || chr(10) || '0 6' || chr(10) || '0000000000 65535 f ' || chr(10)
+         || lpad(o1::varchar, 10, '0') || ' 00000 n ' || chr(10)
+         || lpad(o2::varchar, 10, '0') || ' 00000 n ' || chr(10)
+         || lpad(o3::varchar, 10, '0') || ' 00000 n ' || chr(10)
+         || lpad(o4::varchar, 10, '0') || ' 00000 n ' || chr(10)
+         || lpad(o5::varchar, 10, '0') || ' 00000 n ' || chr(10)
+         || 'trailer' || chr(10) || '<< /Size 6 /Root 1 0 R >>' || chr(10)
+         || 'startxref' || chr(10) || xoff::varchar || chr(10) || '%%EOF' || chr(10) as pdf
+  from o)
+select doc_id, length(pdf)::bigint as n_bytes, pdf
+from p
+""",
         "q26_topic_route": f"""
 with fl as (
   select doc_id, string_split(text, chr(10))[1] as first_line
