@@ -437,6 +437,25 @@ def _q25_markdown_report(spark, sf):
     )
 
 
+def _q28_docx_xml(spark, sf):
+    """K4 DOCX sink, document part: q22's deterministic blueprint →
+    WordprocessingML document.xml (reference create_docx semantics:
+    Heading1/Heading2 titles, List Bullet points, page break between
+    slides, core_document_generator.py:380-413). The zip container
+    (`functions.udfs.docx_package`) is pinned by pytest roundtrip —
+    CRC32 isn't SQL-expressible, the XML is."""
+    from pdf_to_text_spark.operators.blueprint import blueprint_to_docx_xml, text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    md_src = F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
+    )
+    return d.select(
+        "doc_id", blueprint_to_docx_xml(text_to_blueprint(md_src)).alias("docx_xml")
+    )
+
+
 def _q46_embed_centrality(spark, sf):
     """M9 end-to-end: raw text → feature-hash embedder (Arrow pandas
     UDF, md5-portable) → per-source cosine centrality → top-3. The
@@ -527,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_markdown_report": _q25_markdown_report,
         "q26_topic_route": _q26_topic_route,
         "q27_pdf_sink": _q27_pdf_sink,
+        "q28_docx_xml": _q28_docx_xml,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -902,6 +922,58 @@ select doc_id, slide_no,
 from lines
 """,
         # q25: q22's blueprint CTEs + the markdown formatting rules
+        "q28_docx_xml": r"""
+with md as (
+  select doc_id,
+         '# doc ' || doc_id || chr(10) ||
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '\. ', '.' || chr(10) || '- ', 'g') as m
+  from documents),
+secs as (
+  select doc_id,
+         list_filter(string_split(regexp_replace(m, '\n(#+ )', chr(1) || '\1', 'g'), chr(1)),
+                     s -> length(trim(s)) > 0) as ss
+  from md),
+ex as (
+  select doc_id,
+         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
+  from secs),
+lines as (
+  select doc_id, u.slide_no as slide_no,
+         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) as ls
+  from ex),
+sl as (
+  select doc_id, slide_no,
+         count(*) over (partition by doc_id) as n_slides,
+         regexp_replace(ls[1], '^#+ ', '') as title,
+         list_transform(ls[2:], p -> regexp_replace(p, '^[*•\-] ', '')) as points
+  from lines),
+px as (
+  select doc_id, slide_no,
+         '<w:p><w:pPr><w:pStyle w:val="'
+         || case when slide_no = 0 then 'Heading1' else 'Heading2' end
+         || '"/></w:pPr><w:r><w:t xml:space="preserve">'
+         || replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</w:t></w:r></w:p>'
+         || array_to_string(list_transform(points,
+              p -> '<w:p><w:pPr><w:pStyle w:val="ListBullet"/></w:pPr>'
+                   || '<w:r><w:t xml:space="preserve">'
+                   || replace(replace(replace(p, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</w:t></w:r></w:p>'), '')
+         || case when slide_no < n_slides - 1
+                 then '<w:p><w:r><w:br w:type="page"/></w:r></w:p>' else '' end as sx
+  from sl)
+select doc_id,
+       '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
+       || '<w:document xmlns:w='
+       || '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+       || '<w:body>'
+       || string_agg(sx, '' order by slide_no)
+       || '</w:body></w:document>' as docx_xml
+from px
+group by doc_id
+""",
         "q27_pdf_sink": r"""
 with lines as (
   select doc_id,

@@ -23,6 +23,55 @@ def nfkc_lower(s: pd.Series) -> pd.Series:
     return s.map(lambda v: unicodedata.normalize("NFKC", v).lower() if v is not None else None)
 
 
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType='
+    '"application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type='
+    '"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument"'
+    ' Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+
+@F.pandas_udf(T.BinaryType())
+def docx_package(xml: pd.Series) -> pd.Series:
+    """K4 DOCX sink, container part: wrap a WordprocessingML document
+    string (``operators.blueprint.blueprint_to_docx_xml``) into a valid
+    .docx (OPC zip). Deterministic bytes: stored entries, pinned
+    DOS timestamp, fixed member order — equal inputs → equal files on
+    any executor (idempotent re-runs byte-match). Zip+CRC needs Python,
+    hence the engine's one packaging UDF (Arrow-batched)."""
+    import io
+    import zipfile
+
+    def pack(doc: str | None) -> bytes | None:
+        if doc is None:
+            return None
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+            for name, data in (
+                ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+                ("_rels/.rels", _DOCX_RELS),
+                ("word/document.xml", doc),
+            ):
+                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = zipfile.ZIP_STORED
+                z.writestr(zi, data)
+        return buf.getvalue()
+
+    return xml.map(pack)
+
+
 def remove_stopwords(c: Column, stopwords: list[str] | None = None) -> Column:
     """F8: stopword removal (5_NLP/nlp/cleaning.py:26-29) — native
     Catalyst (array_except-style filter keeps order + duplicates)."""

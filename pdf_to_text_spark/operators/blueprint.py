@@ -85,6 +85,57 @@ def blueprint_to_markdown(bp: Column) -> Column:
     return F.concat(F.lit("# Presentation Content Report\n\n"), F.array_join(slide_md, ""))
 
 
+def _xml_escape(c: Column) -> Column:
+    """Escape XML text content (& first, else it re-escapes the escapes).
+    Literal ``F.replace`` — no regex replacement-string surprises."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+DOCX_XML_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<w:document xmlns:w='
+    '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    "<w:body>"
+)
+DOCX_XML_TAIL = "</w:body></w:document>"
+DOCX_PAGE_BREAK = '<w:p><w:r><w:br w:type="page"/></w:r></w:p>'
+
+
+def _docx_para(style: Column, text: Column) -> Column:
+    return F.concat(
+        F.lit('<w:p><w:pPr><w:pStyle w:val="'),
+        style,
+        F.lit('"/></w:pPr><w:r><w:t xml:space="preserve">'),
+        _xml_escape(text),
+        F.lit("</w:t></w:r></w:p>"),
+    )
+
+
+def blueprint_to_docx_xml(bp: Column) -> Column:
+    """K4 DOCX sink, document part: blueprint → WordprocessingML
+    ``word/document.xml`` string, pure Catalyst — the reference's
+    ``create_docx`` (core_document_generator.py:380-413): slide 0 title
+    → Heading1, later titles → Heading2, each content point a
+    ``List Bullet`` paragraph, page break between slides (not after the
+    last). ``functions.udfs.docx_package`` wraps this into the .docx
+    zip container."""
+    slides = F.transform(
+        bp,
+        lambda s, i: F.concat(
+            _docx_para(
+                F.when(i == 0, F.lit("Heading1")).otherwise(F.lit("Heading2")), s["title"]
+            ),
+            F.array_join(
+                F.transform(s["content"], lambda p: _docx_para(F.lit("ListBullet"), p)), ""
+            ),
+            F.when(i < F.size(bp) - 1, F.lit(DOCX_PAGE_BREAK)).otherwise(F.lit("")),
+        ),
+    )
+    return F.concat(F.lit(DOCX_XML_HEAD), F.array_join(slides, ""), F.lit(DOCX_XML_TAIL))
+
+
 def paginate_slides(df: DataFrame, id_col: str, line_col: str, max_lines: int = 12) -> DataFrame:
     """A7: accumulate lines, flush every ``max_lines`` (12/slide in
     ppt_formation.py:98) — window row_number → page group."""
