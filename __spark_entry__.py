@@ -456,6 +456,20 @@ def _q28_docx_xml(spark, sf):
     )
 
 
+def _q29_raster_ocr(spark, sf):
+    """M2 + real M4: text → rasterized PNG page (deterministic font,
+    real pixels) → glyph OCR back to text. The oracle computes the
+    raster→OCR fixpoint (ASCII-project, clip to the 64x48 grid,
+    rstrip) directly, so the whole render/decode loop is hash-checked
+    through actual pixel data."""
+    from pdf_to_text_spark.operators.multimodal import ocr_pages, rasterize_pages
+
+    d = _t(spark, sf, "documents")
+    return ocr_pages(rasterize_pages(d)).select(
+        "doc_id", F.col("ocr_text").alias("recovered")
+    )
+
+
 def _q46_embed_centrality(spark, sf):
     """M9 end-to-end: raw text → feature-hash embedder (Arrow pandas
     UDF, md5-portable) → per-source cosine centrality → top-3. The
@@ -547,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_topic_route": _q26_topic_route,
         "q27_pdf_sink": _q27_pdf_sink,
         "q28_docx_xml": _q28_docx_xml,
+        "q29_raster_ocr": _q29_raster_ocr,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -922,6 +937,16 @@ select doc_id, slide_no,
 from lines
 """,
         # q25: q22's blueprint CTEs + the markdown formatting rules
+        "q29_raster_ocr": r"""
+with ls as (
+  select doc_id, string_split(text, chr(10))[1:48] as lines
+  from documents)
+select doc_id,
+       rtrim(array_to_string(list_transform(lines,
+         l -> rtrim(substr(regexp_replace(l, '[^ -~]', ' ', 'g'), 1, 64), ' ')),
+         chr(10)), chr(10)) as recovered
+from ls
+""",
         "q28_docx_xml": r"""
 with md as (
   select doc_id,

@@ -170,6 +170,60 @@ def image_signatures(
     )
 
 
+def rasterize_pages(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """M2 page rasterize: text → fixed-grid grayscale PNG page bytes
+    (``core.raster`` frozen spec — deterministic injective 5x7 font,
+    real PNG encode). The Spark shape of the reference's
+    ``page.get_pixmap`` hop (convert_pdfs_pymupdf.py:18,
+    core_document_processing.py:60-66): Arrow-batched mapInPandas,
+    binary out, one row per page."""
+    from pdf_to_text_spark.core.raster import rasterize_text
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "page_png": pdf[text_col].map(
+                        lambda t: rasterize_text(t) if t is not None else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, page_png binary"
+    )
+
+
+def ocr_pages(df: DataFrame, png_col: str = "page_png", id_col: str = "doc_id") -> DataFrame:
+    """Real M4 OCR map: rasterized page PNG → text by inverse glyph
+    match (``core.raster.ocr_png``), replacing the reference's
+    Tesseract hop (ocr_engine.py:13-42) with a deterministic decoder.
+    Row-level error tolerance: undecodable pages become
+    ``(None, error)`` rows, never task failures (main.py:77-78)."""
+    from pdf_to_text_spark.core.raster import ocr_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts, errs = [], []
+            for data in pdf[png_col]:
+                if data is None:
+                    texts.append(None)
+                    errs.append("null page")
+                    continue
+                try:
+                    texts.append(ocr_png(bytes(data)))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — row tolerance
+                    texts.append(None)
+                    errs.append(f"ocr:{type(e).__name__}")
+            yield pd.DataFrame({id_col: pdf[id_col], "ocr_text": texts, "ocr_error": errs})
+
+    return df.select(id_col, png_col).mapInPandas(
+        batches, schema=f"{id_col} long, ocr_text string, ocr_error string"
+    )
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30):
     """Video frame-sampling plumbing stub: real implementation maps
     binary video → exploded frame rows inside mapInPandas. Kept as an
