@@ -470,6 +470,28 @@ def _q29_raster_ocr(spark, sf):
     )
 
 
+def _q48_pptx_slides(spark, sf):
+    """K5 PPTX sink (basic variant), slide part: blueprint →
+    PresentationML slide XML per slide, first slide on the title
+    layout (O4). Container packaging (`functions.pptxsink.
+    pptx_package`) is pinned by pytest (zip/rels/content-type
+    consistency); the XML itself is hash-checked here."""
+    from pdf_to_text_spark.functions.pptxsink import blueprint_to_slide_xml
+    from pdf_to_text_spark.operators.blueprint import text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    md_src = F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(blueprint_to_slide_xml(text_to_blueprint(md_src))).alias(
+            "slide_no", "slide_xml"
+        ),
+    )
+
+
 def _q46_embed_centrality(spark, sf):
     """M9 end-to-end: raw text → feature-hash embedder (Arrow pandas
     UDF, md5-portable) → per-source cosine centrality → top-3. The
@@ -562,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_pdf_sink": _q27_pdf_sink,
         "q28_docx_xml": _q28_docx_xml,
         "q29_raster_ocr": _q29_raster_ocr,
+        "q48_pptx_slides": _q48_pptx_slides,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -937,6 +960,59 @@ select doc_id, slide_no,
 from lines
 """,
         # q25: q22's blueprint CTEs + the markdown formatting rules
+        "q48_pptx_slides": r"""
+with md as (
+  select doc_id,
+         '# doc ' || doc_id || chr(10) ||
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '\. ', '.' || chr(10) || '- ', 'g') as m
+  from documents),
+secs as (
+  select doc_id,
+         list_filter(string_split(regexp_replace(m, '\n(#+ )', chr(1) || '\1', 'g'), chr(1)),
+                     s -> length(trim(s)) > 0) as ss
+  from md),
+ex as (
+  select doc_id,
+         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
+  from secs),
+lines as (
+  select doc_id, u.slide_no as slide_no,
+         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) as ls
+  from ex),
+sl as (
+  select doc_id, slide_no,
+         regexp_replace(ls[1], '^#+ ', '') as title,
+         list_transform(ls[2:], p -> regexp_replace(p, '^[*•\-] ', '')) as points
+  from lines)
+select doc_id, slide_no,
+       '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
+       || '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+       || ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+       || ' xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">'
+       || '<p:cSld><p:spTree>'
+       || '<p:nvGrpSpPr><p:cNvPr id="1" name=""/><p:cNvGrpSpPr/><p:nvPr/></p:nvGrpSpPr>'
+       || '<p:grpSpPr/>'
+       || '<p:sp><p:nvSpPr><p:cNvPr id="2" name="Title"/><p:cNvSpPr/><p:nvPr><p:ph '
+       || case when slide_no = 0 then 'type="ctrTitle"' else 'type="title"' end
+       || '/></p:nvPr></p:nvSpPr><p:spPr/><p:txBody><a:bodyPr/>'
+       || '<a:p><a:r><a:t>'
+       || replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</a:t></a:r></a:p></p:txBody></p:sp>'
+       || case when len(points) > 0 then
+            '<p:sp><p:nvSpPr><p:cNvPr id="3" name="Content"/><p:cNvSpPr/><p:nvPr>'
+            || '<p:ph type="body" idx="1"/></p:nvPr></p:nvSpPr><p:spPr/>'
+            || '<p:txBody><a:bodyPr/>'
+            || array_to_string(list_transform(points,
+                 p -> '<a:p><a:r><a:t>'
+                      || replace(replace(replace(p, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                      || '</a:t></a:r></a:p>'), '')
+            || '</p:txBody></p:sp>'
+          else '' end
+       || '</p:spTree></p:cSld></p:sld>' as slide_xml
+from sl
+""",
         "q29_raster_ocr": r"""
 with ls as (
   select doc_id, string_split(text, chr(10))[1:48] as lines
