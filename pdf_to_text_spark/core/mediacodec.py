@@ -114,6 +114,19 @@ def encode_png(w: int, h: int, channels: int, pixels: bytes, row_filter: int = 0
     if len(pixels) != stride * h:
         raise ValueError("pixel buffer size mismatch")
     raw = bytearray()
+    if row_filter == 0:
+        # identity filter: no per-byte work — just interleave the
+        # filter-type byte per scanline (hot path for rasterized pages)
+        for y in range(h):
+            raw.append(0)
+            raw += pixels[y * stride : (y + 1) * stride]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+        return (
+            _PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
     prev = bytearray(stride)
     for y in range(h):
         row = bytearray(pixels[y * stride : (y + 1) * stride])

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from pdf_to_text_spark.core.mediacodec import decode_png, encode_png
 
 GLYPH_W, GLYPH_H = 5, 7
@@ -45,6 +47,18 @@ GLYPHS: dict[str, int] = {chr(c): _glyph_bits(chr(c)) for c in range(0x20, 0x7F)
 _REV: dict[int, str] = {bits: ch for ch, bits in GLYPHS.items()}
 assert len(_REV) == len(GLYPHS), "glyph table must be injective for OCR"
 
+# vectorized tables (numpy does the per-pixel work — the Arrow-batch
+# pattern: Python orchestrates, C kernels touch pixels)
+_BIT_W = GLYPH_W * GLYPH_H
+_SHIFTS = np.arange(_BIT_W - 1, -1, -1, dtype=np.int64)
+# glyph index (0..94) → (7,5) ink mask
+_GLYPH_ARR = (
+    (np.array([GLYPHS[chr(c)] for c in range(0x20, 0x7F)], dtype=np.int64)[:, None]
+     >> _SHIFTS[None, :]) & 1
+).astype(bool).reshape(95, GLYPH_H, GLYPH_W)
+_REV_KEYS = np.sort(np.array(list(_REV), dtype=np.int64))
+_REV_CHARS = np.array([_REV[int(k)] for k in _REV_KEYS], dtype="<U1")
+
 
 def _proj_line(line: str) -> str:
     return "".join(ch if 0x20 <= ord(ch) <= 0x7E else " " for ch in line)
@@ -53,18 +67,16 @@ def _proj_line(line: str) -> str:
 def rasterize_text(text: str, cols: int = PAGE_COLS, rows: int = PAGE_ROWS) -> bytes:
     """Text → fixed-size grayscale PNG page (clips at the grid)."""
     w, h = cols * CELL_W, rows * CELL_H
-    px = bytearray(b"\xff" * (w * h))
-    lines = text.split("\n")[:rows]
-    for r, raw in enumerate(lines):
-        for k, ch in enumerate(_proj_line(raw)[:cols]):
-            bits = GLYPHS[ch]
-            if not bits:
-                continue
-            x0, y0 = k * CELL_W, r * CELL_H
-            for b in range(GLYPH_W * GLYPH_H):
-                if bits >> (GLYPH_W * GLYPH_H - 1 - b) & 1:
-                    px[(y0 + b // GLYPH_W) * w + x0 + b % GLYPH_W] = 0
-    return encode_png(w, h, 1, bytes(px))
+    page = np.full((rows, CELL_H, cols, CELL_W), 255, dtype=np.uint8)
+    for r, raw in enumerate(text.split("\n")[:rows]):
+        line = _proj_line(raw)[:cols]
+        if not line.strip(" "):
+            continue
+        idx = np.frombuffer(line.encode("latin-1"), dtype=np.uint8).astype(np.int64) - 0x20
+        ink = _GLYPH_ARR[idx]  # (n, 7, 5) bool
+        cell = page[r, :GLYPH_H, : len(line), :GLYPH_W]
+        cell[ink.transpose(1, 0, 2)] = 0
+    return encode_png(w, h, 1, page.reshape(h, w).tobytes())
 
 
 def ocr_png(data: bytes) -> str:
@@ -73,17 +85,14 @@ def ocr_png(data: bytes) -> str:
     if ch != 1 or w % CELL_W or h % CELL_H:
         raise ValueError("not a rasterized page")
     cols, rows = w // CELL_W, h // CELL_H
-    lines: list[str] = []
-    for r in range(rows):
-        out: list[str] = []
-        for k in range(cols):
-            x0, y0 = k * CELL_W, r * CELL_H
-            bits = 0
-            for b in range(GLYPH_W * GLYPH_H):
-                if px[(y0 + b // GLYPH_W) * w + x0 + b % GLYPH_W] < 128:
-                    bits |= 1 << (GLYPH_W * GLYPH_H - 1 - b)
-            out.append(_REV.get(bits, "�"))
-        lines.append("".join(out).rstrip(" "))
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(rows, CELL_H, cols, CELL_W)
+    ink = arr[:, :GLYPH_H, :, :GLYPH_W] < 128  # (rows, 7, cols, 5)
+    bits = ink.transpose(0, 2, 1, 3).reshape(rows, cols, _BIT_W)
+    packed = (bits.astype(np.int64) << _SHIFTS[None, None, :]).sum(axis=2)
+    pos = np.searchsorted(_REV_KEYS, packed)
+    pos_c = np.clip(pos, 0, len(_REV_KEYS) - 1)
+    chars = np.where(_REV_KEYS[pos_c] == packed, _REV_CHARS[pos_c], "�")
+    lines = ["".join(row.tolist()).rstrip(" ") for row in chars]
     return "\n".join(lines).rstrip("\n")
 
 
