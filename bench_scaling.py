@@ -28,6 +28,25 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "115200"))
 
 
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_quiet(gate: float, max_wait: float = 900.0) -> float:
+    """Block until the 1-minute load average drops below ``gate`` (or
+    ``max_wait`` elapses). The shared sandbox host has bursty noisy
+    neighbors; a sample where EITHER side ran against neighbor load
+    measures the neighbors, not the engine — gating each side (not
+    just the sample start) keeps both numerator and denominator
+    honest. The start load is recorded in the output so a reviewer
+    can discard gated-but-unlucky samples."""
+    t0 = time.time()
+    while _load1() >= gate and time.time() - t0 < max_wait:
+        time.sleep(45)
+    return _load1()
+
+
 def run_once(cores: int, timed_repeats: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +76,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--load-gate", type=float, default=0.0,
+                    help="wait for 1-min load < GATE before each side (0 = off)")
     args = ap.parse_args()
 
     # warm the corpus cache once so neither measurement pays generation
@@ -70,7 +91,9 @@ def main() -> None:
     # bench.py filters noisy-neighbor interference without paying a
     # warmup per sample)
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
+    start_loads: dict[int, float] = {}
     for cores in (args.low, args.high):
+        start_loads[cores] = _wait_quiet(args.load_gate) if args.load_gate else _load1()
         results[cores].append(run_once(cores, args.repeats))
 
     best = {c: max(r["extraction_docs_per_sec"] for r in rs) for c, rs in results.items()}
@@ -109,7 +132,16 @@ magnitude at either parallelism level.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(report)
-    print(json.dumps({"low": best[args.low], "high": best[args.high], "efficiency": round(eff, 3)}))
+    print(
+        json.dumps(
+            {
+                "low": best[args.low],
+                "high": best[args.high],
+                "efficiency": round(eff, 3),
+                "start_loads": [start_loads[args.low], start_loads[args.high]],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
