@@ -207,6 +207,18 @@ def _punctuated(c):
     return F.regexp_replace(c, "table", "table.")
 
 
+def _md_src() -> Column:
+    """Deterministic markdown synthesized from a document row ('# doc
+    <id>' heading + one '- ' bullet per sentence) — the shared input of
+    every blueprint-derived query (q22/q25/q28/q48); its DuckDB twin is
+    the shared `md` CTE. One definition so engine and oracle can't
+    drift per-query."""
+    return F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
+    )
+
+
 def _q14_sentences(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -367,11 +379,9 @@ def _q22_blueprint(spark, sf):
     from pdf_to_text_spark.operators.blueprint import text_to_blueprint
 
     d = _t(spark, sf, "documents")
-    md = F.concat(
-        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
-        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
+    bp = d.select(
+        "doc_id", F.posexplode(text_to_blueprint(_md_src())).alias("slide_no", "slide")
     )
-    bp = d.select("doc_id", F.posexplode(text_to_blueprint(md)).alias("slide_no", "slide"))
     return bp.select(
         "doc_id", "slide_no", F.col("slide.title").alias("title"),
         F.size("slide.content").alias("n_points"),
@@ -428,10 +438,7 @@ def _q25_markdown_report(spark, sf):
     from pdf_to_text_spark.operators.blueprint import blueprint_to_markdown, text_to_blueprint
 
     d = _t(spark, sf, "documents")
-    md_src = F.concat(
-        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
-        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
-    )
+    md_src = _md_src()
     return d.select(
         "doc_id", blueprint_to_markdown(text_to_blueprint(md_src)).alias("report")
     )
@@ -447,10 +454,7 @@ def _q28_docx_xml(spark, sf):
     from pdf_to_text_spark.operators.blueprint import blueprint_to_docx_xml, text_to_blueprint
 
     d = _t(spark, sf, "documents")
-    md_src = F.concat(
-        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
-        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
-    )
+    md_src = _md_src()
     return d.select(
         "doc_id", blueprint_to_docx_xml(text_to_blueprint(md_src)).alias("docx_xml")
     )
@@ -480,10 +484,7 @@ def _q48_pptx_slides(spark, sf):
     from pdf_to_text_spark.operators.blueprint import text_to_blueprint
 
     d = _t(spark, sf, "documents")
-    md_src = F.concat(
-        F.lit("# doc "), F.col("doc_id").cast("string"), F.lit("\n"),
-        F.regexp_replace(_punctuated(F.col("text")), r"\. ", ".\n- "),
-    )
+    md_src = _md_src()
     return d.select(
         "doc_id",
         F.posexplode(blueprint_to_slide_xml(text_to_blueprint(md_src))).alias(
@@ -539,8 +540,10 @@ def _q27_pdf_sink(spark, sf):
     byte-exact document — xref offsets included — so the sink is
     hash-checked; tests additionally pin writer→parser roundtrip."""
     d = _t(spark, sf, "documents")
-    pdf = text_to_pdf(F.col("text"))
-    return d.select("doc_id", F.length(pdf).cast("long").alias("n_bytes"), pdf.alias("pdf"))
+    # build the (large) PDF expression tree once; derive n_bytes from
+    # the materialized column in a second projection
+    p = d.select("doc_id", text_to_pdf(F.col("text")).alias("pdf"))
+    return p.select("doc_id", F.length("pdf").cast("long").alias("n_bytes"), "pdf")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

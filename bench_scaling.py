@@ -4,7 +4,10 @@ The sandbox has no multi-node cluster, so the N→4N-executor criterion is
 evidenced by running the IDENTICAL extraction job on the IDENTICAL input
 at local[8] and local[32] (N and 4N cores), in fresh subprocesses (fresh
 JVM each, no warm-cache bleed), reporting throughput at both plus
-efficiency = (T@4N) / (4 × T@N). Writes BENCH/BASELINE.md.
+efficiency = (T@4N) / (4 × T@N). Writes the generated report to
+BENCH/LAST_RUN.md; BENCH/BASELINE.md is the curated committed evidence
+document (best clean measurement + campaign analysis) and is never
+overwritten by this script.
 
 Usage: python bench_scaling.py [--repeats 2]
 """
@@ -100,7 +103,7 @@ def main() -> None:
     rows = results[args.low][0]["extraction_rows"]
     eff = best[args.high] / (best[args.low] * (args.high / args.low))
 
-    report = f"""# BENCH/BASELINE — measured scaling evidence
+    report = f"""# BENCH/LAST_RUN — generated scaling measurement
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 moving from N
 to 4N executors. Sandbox stand-in (no cluster): identical job, identical
@@ -115,6 +118,7 @@ is the faithful stand-in).
   normalize → bucketed write + lineage + manifest)
 - input: deterministic fixture corpus, {rows} docs (seed 42)
 - best of {args.repeats} timed runs per level (one warmed JVM each), measured {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())}
+- 1-min load at each side's start: local[{args.low}]={start_loads[args.low]:.2f}, local[{args.high}]={start_loads[args.high]:.2f} (gate: {args.load_gate or 'off'})
 
 | parallelism | docs/sec | sec |
 | --- | --- | --- |
@@ -130,7 +134,7 @@ its throughput is bounded by per-page OCR/API sleeps (≥1 s/page ⇒
 magnitude at either parallelism level.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "LAST_RUN.md"), "w") as f:
         f.write(report)
     print(
         json.dumps(

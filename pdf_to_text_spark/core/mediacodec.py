@@ -134,9 +134,8 @@ def encode_png(w: int, h: int, channels: int, pixels: bytes, row_filter: int = 0
         for i in range(stride):
             left = row[i - channels] if i >= channels else 0
             ul = prev[i - channels] if i >= channels else 0
-            if row_filter == 0:
-                v = row[i]
-            elif row_filter == 1:
+            # row_filter == 0 returned via the fast path above
+            if row_filter == 1:
                 v = row[i] - left
             elif row_filter == 2:
                 v = row[i] - prev[i]

@@ -38,10 +38,7 @@ SLIDE_XML_HEAD = (
 SLIDE_XML_TAIL = "</p:spTree></p:cSld></p:sld>"
 
 
-def _xml_escape(c: Column) -> Column:
-    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
-    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+from pdf_to_text_spark.operators.blueprint import _xml_escape  # noqa: E402 — one escape spec
 
 
 def _sp(ph: Column, body: Column, *, shape_id: int, name: str) -> Column:
@@ -230,10 +227,9 @@ def _presentation_rels(n_slides: int) -> str:
 
 @F.pandas_udf(T.BinaryType())
 def pptx_package(slide_xmls: pd.Series) -> pd.Series:
-    """``array<string>`` of slide XMLs → one deterministic .pptx (OPC
-    zip: stored entries, pinned DOS timestamp, fixed member order)."""
-    import io
-    import zipfile
+    """``array<string>`` of slide XMLs → one deterministic .pptx
+    (shared ``functions.udfs.opc_zip`` container contract)."""
+    from pdf_to_text_spark.functions.udfs import opc_zip
 
     def pack(slides) -> bytes | None:
         if slides is None:
@@ -257,12 +253,6 @@ def pptx_package(slide_xmls: pd.Series) -> pd.Series:
             ("ppt/theme/theme1.xml", _THEME_XML),
         ]
         members += [(f"ppt/slides/slide{i + 1}.xml", s) for i, s in enumerate(slides)]
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
-            for name, data in members:
-                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
-                zi.compress_type = zipfile.ZIP_STORED
-                z.writestr(zi, data)
-        return buf.getvalue()
+        return opc_zip(members)
 
     return slide_xmls.map(pack)

@@ -43,31 +43,41 @@ _DOCX_RELS = (
 )
 
 
+def opc_zip(members: list[tuple[str, str]]) -> bytes:
+    """Deterministic OPC (Office Open XML) zip container: stored
+    entries, pinned DOS timestamp, caller-fixed member order — equal
+    inputs → byte-equal files on any executor (idempotent re-runs
+    byte-match). Shared by the DOCX and PPTX packagers so the
+    determinism contract lives in exactly one place."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_STORED
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
 @F.pandas_udf(T.BinaryType())
 def docx_package(xml: pd.Series) -> pd.Series:
     """K4 DOCX sink, container part: wrap a WordprocessingML document
     string (``operators.blueprint.blueprint_to_docx_xml``) into a valid
-    .docx (OPC zip). Deterministic bytes: stored entries, pinned
-    DOS timestamp, fixed member order — equal inputs → equal files on
-    any executor (idempotent re-runs byte-match). Zip+CRC needs Python,
-    hence the engine's one packaging UDF (Arrow-batched)."""
-    import io
-    import zipfile
+    .docx (deterministic OPC zip via ``opc_zip``). Zip+CRC needs
+    Python, hence a packaging UDF (Arrow-batched)."""
 
     def pack(doc: str | None) -> bytes | None:
         if doc is None:
             return None
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
-            for name, data in (
+        return opc_zip(
+            [
                 ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
                 ("_rels/.rels", _DOCX_RELS),
                 ("word/document.xml", doc),
-            ):
-                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
-                zi.compress_type = zipfile.ZIP_STORED
-                z.writestr(zi, data)
-        return buf.getvalue()
+            ]
+        )
 
     return xml.map(pack)
 

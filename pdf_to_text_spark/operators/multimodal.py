@@ -190,8 +190,9 @@ def rasterize_pages(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
                 }
             )
 
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} long, page_png binary"
+        batches, schema=f"{id_col} {id_type}, page_png binary"
     )
 
 
@@ -219,8 +220,9 @@ def ocr_pages(df: DataFrame, png_col: str = "page_png", id_col: str = "doc_id") 
                     errs.append(f"ocr:{type(e).__name__}")
             yield pd.DataFrame({id_col: pdf[id_col], "ocr_text": texts, "ocr_error": errs})
 
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, png_col).mapInPandas(
-        batches, schema=f"{id_col} long, ocr_text string, ocr_error string"
+        batches, schema=f"{id_col} {id_type}, ocr_text string, ocr_error string"
     )
 
 
