@@ -84,3 +84,21 @@ def test_embed_centrality_caches_vectors(spark):
     )
     plan = _plan(centrality_topk_from_text(docs))
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_sink_queries_are_shuffle_free(spark):
+    """The artifact sinks (PDF/DOCX/PPTX-slides/raster-OCR/topic-route)
+    are per-row projections — at 100 TB they must compile to
+    scan → project (+ explode) with ZERO Exchanges."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "q26_topic_route",
+        "q27_pdf_sink",
+        "q28_docx_xml",
+        "q29_raster_ocr",
+        "q48_pptx_slides",
+    ):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, (name, plan)
