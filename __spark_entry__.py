@@ -39,13 +39,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _dsum(c: Column, scale: int, prec: str = "decimal(18,6)") -> Column:
+def _dsum(c: Column, scale: int, prec: str = "decimal(28,6)") -> Column:
     """Order-independent rounded sum: double addition is NOT associative,
     so a double-sum rounded near a boundary can differ between Spark's
     partition order and DuckDB's scan order (driver gate flagged q06 this
     way in round 1). Casting each addend to decimal makes the sum exact →
     identical on any engine/partitioning; the oracle twin is
-    ``round(sum(x::decimal(18,6)), s)::double`` (rounding verified
+    ``round(sum(x::decimal(28,6)), s)::double`` (rounding verified
     identical: both engines round decimals half-away-from-zero)."""
     return F.round(F.sum(c.cast(prec)), scale).cast("double")
 
@@ -610,6 +610,40 @@ _SHINGLES = (
 )
 _STOPLIST = "[" + ",".join(f"'{w}'" for w in TS.EN_STOPWORDS) + "]"
 
+# Shared DuckDB replay of the deterministic blueprint build (_md_src →
+# text_to_blueprint): md → secs → ex → lines, plus the sl projection.
+# ONE definition so the four blueprint oracles (q22/q25/q28/q48) cannot
+# drift from each other or from the engine's split/trim steps. The secs
+# filter drops all-WHITESPACE sections — mirrors split_on_headings'
+# CLS_A-stripped length check (space-only trim would keep " \n " and
+# the engine/oracle would diverge on it).
+_BP_CTES = rf"""md as (
+  select doc_id,
+         '# doc ' || doc_id || chr(10) ||
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '\. ', '.' || chr(10) || '- ', 'g') as m
+  from documents),
+secs as (
+  select doc_id,
+         list_filter(string_split(regexp_replace(m, '\n(#+ )', chr(1) || '\1', 'g'), chr(1)),
+                     s -> length(regexp_replace(s, '{_CLS}+', '', 'g')) > 0) as ss
+  from md),
+ex as (
+  select doc_id,
+         unnest([{{'slide_no': i - 1, 'sec': ss[i]}} for i in range(1, len(ss) + 1)]) as u
+  from secs),
+lines as (
+  select doc_id, u.slide_no as slide_no,
+         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) as ls
+  from ex),
+sl as (
+  select doc_id, slide_no,
+         count(*) over (partition by doc_id) as n_slides,
+         regexp_replace(ls[1], '^#+ ', '') as title,
+         list_transform(ls[2:], p -> regexp_replace(p, '^[*•\-] ', '')) as points
+  from lines)"""
+
 
 def _sig_cols(num_hashes: int) -> str:
     return ", ".join(
@@ -679,16 +713,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
 select l_returnflag, l_linestatus,
-       round(sum(l_quantity::decimal(18,6)), 2)::double as sum_qty,
-       round(sum(l_extendedprice::decimal(18,6)), 2)::double as sum_base,
-       round(sum((l_extendedprice * (1 - l_discount))::decimal(18,6)), 2)::double as sum_disc,
+       round(sum(l_quantity::decimal(28,6)), 2)::double as sum_qty,
+       round(sum(l_extendedprice::decimal(28,6)), 2)::double as sum_base,
+       round(sum((l_extendedprice * (1 - l_discount))::decimal(28,6)), 2)::double as sum_disc,
        count(*) as n_rows
 from lineitem where l_shipdate <= timestamp '2002-09-02'
 group by l_returnflag, l_linestatus
 """,
         "q02_revenue_by_nation": """
 select n_name,
-       round(sum((l_extendedprice * (1 - l_discount))::decimal(18,6)), 2)::double as revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::decimal(28,6)), 2)::double as revenue,
        count(distinct o_orderkey) as n_orders
 from lineitem join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
@@ -703,7 +737,7 @@ select o_custkey, o_orderkey, round(o_totalprice, 2) as price, rn from (
 """,
         "q04_events_hourly": """
 select date_trunc('hour', ts) as window_start, event_type,
-       count(*) as n, round(sum(value::decimal(18,6)), 4)::double as sum_value
+       count(*) as n, round(sum(value::decimal(28,6)), 4)::double as sum_value
 from events group by 1, 2
 """,
         "q05_set_ops": """
@@ -727,7 +761,7 @@ s as (
                           rows between unbounded preceding and current row) as session_no
   from g)
 select user_id, session_no, count(*) as n_events,
-       round(sum(value::decimal(18,6)), 4)::double as session_value
+       round(sum(value::decimal(28,6)), 4)::double as session_value
 from s group by 1, 2
 """,
         "q07_pivot_status": """
@@ -739,7 +773,7 @@ from orders group by 1
 """,
         "q08_rollup": """
 select l_returnflag, l_linestatus, count(*) as n,
-       round(sum(l_quantity::decimal(18,6)), 2)::double as qty
+       round(sum(l_quantity::decimal(28,6)), 2)::double as qty
 from lineitem group by rollup (l_returnflag, l_linestatus)
 """,
         "q10_meaningful_len": f"""
@@ -936,59 +970,14 @@ select label, id_a, id_b, score, rn from (
 """,
         # q22: replay the blueprint pipeline (markdown synth → heading
         # split → per-section line parse) step-for-step in SQL
-        "q22_blueprint_explode": """
-with md as (
-  select doc_id,
-         '# doc ' || doc_id || chr(10) ||
-         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
-                        '\\. ', '.' || chr(10) || '- ', 'g') as m
-  from documents),
-secs as (
-  select doc_id,
-         list_filter(string_split(regexp_replace(m, '\\n(#+ )', chr(1) || '\\1', 'g'), chr(1)),
-                     s -> length(trim(s)) > 0) as ss
-  from md),
-ex as (
-  select doc_id,
-         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
-  from secs),
-lines as (
-  select doc_id, u.slide_no as slide_no,
-         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
-                     x -> length(x) > 0) as ls
-  from ex)
-select doc_id, slide_no,
-       regexp_replace(ls[1], '^#+ ', '') as title,
-       greatest(len(ls) - 1, 0) as n_points
-from lines
+        "q22_blueprint_explode": f"""
+with {_BP_CTES}
+select doc_id, slide_no, title, len(points) as n_points
+from sl
 """,
         # q25: q22's blueprint CTEs + the markdown formatting rules
-        "q48_pptx_slides": r"""
-with md as (
-  select doc_id,
-         '# doc ' || doc_id || chr(10) ||
-         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
-                        '\. ', '.' || chr(10) || '- ', 'g') as m
-  from documents),
-secs as (
-  select doc_id,
-         list_filter(string_split(regexp_replace(m, '\n(#+ )', chr(1) || '\1', 'g'), chr(1)),
-                     s -> length(trim(s)) > 0) as ss
-  from md),
-ex as (
-  select doc_id,
-         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
-  from secs),
-lines as (
-  select doc_id, u.slide_no as slide_no,
-         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
-                     x -> length(x) > 0) as ls
-  from ex),
-sl as (
-  select doc_id, slide_no,
-         regexp_replace(ls[1], '^#+ ', '') as title,
-         list_transform(ls[2:], p -> regexp_replace(p, '^[*•\-] ', '')) as points
-  from lines)
+        "q48_pptx_slides": f"""
+with {_BP_CTES}
 select doc_id, slide_no,
        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
        || '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
@@ -1026,33 +1015,8 @@ select doc_id,
          chr(10)), chr(10)) as recovered
 from ls
 """,
-        "q28_docx_xml": r"""
-with md as (
-  select doc_id,
-         '# doc ' || doc_id || chr(10) ||
-         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
-                        '\. ', '.' || chr(10) || '- ', 'g') as m
-  from documents),
-secs as (
-  select doc_id,
-         list_filter(string_split(regexp_replace(m, '\n(#+ )', chr(1) || '\1', 'g'), chr(1)),
-                     s -> length(trim(s)) > 0) as ss
-  from md),
-ex as (
-  select doc_id,
-         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
-  from secs),
-lines as (
-  select doc_id, u.slide_no as slide_no,
-         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
-                     x -> length(x) > 0) as ls
-  from ex),
-sl as (
-  select doc_id, slide_no,
-         count(*) over (partition by doc_id) as n_slides,
-         regexp_replace(ls[1], '^#+ ', '') as title,
-         list_transform(ls[2:], p -> regexp_replace(p, '^[*•\-] ', '')) as points
-  from lines),
+        "q28_docx_xml": f"""
+with {_BP_CTES},
 px as (
   select doc_id, slide_no,
          '<w:p><w:pPr><w:pStyle w:val="'
@@ -1143,34 +1107,14 @@ w as (
 select doc_id, n_words::int as n_words, n_words < 10 as is_topic
 from w
 """,
-        "q25_markdown_report": """
-with md as (
-  select doc_id,
-         '# doc ' || doc_id || chr(10) ||
-         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
-                        '\\. ', '.' || chr(10) || '- ', 'g') as m
-  from documents),
-secs as (
-  select doc_id,
-         list_filter(string_split(regexp_replace(m, '\\n(#+ )', chr(1) || '\\1', 'g'), chr(1)),
-                     s -> length(trim(s)) > 0) as ss
-  from md),
-ex as (
-  select doc_id,
-         unnest([{'slide_no': i - 1, 'sec': ss[i]} for i in range(1, len(ss) + 1)]) as u
-  from secs),
-lines as (
-  select doc_id, u.slide_no as slide_no,
-         list_filter(list_transform(string_split(u.sec, chr(10)), x -> trim(x)),
-                     x -> length(x) > 0) as ls
-  from ex),
+        "q25_markdown_report": f"""
+with {_BP_CTES},
 slide as (
   select doc_id, slide_no,
-         '## ' || regexp_replace(ls[1], '^#+ ', '') || chr(10) ||
-         array_to_string(list_transform(
-           list_transform(ls[2:], x -> regexp_replace(x, '^[*•-] ', '')),
-           p -> '- ' || p || chr(10)), '') || chr(10) as smd
-  from lines)
+         '## ' || title || chr(10) ||
+         array_to_string(list_transform(points, p -> '- ' || p || chr(10)), '')
+         || chr(10) as smd
+  from sl)
 select doc_id,
        '# Presentation Content Report' || chr(10) || chr(10) ||
        string_agg(smd, '' order by slide_no) as report

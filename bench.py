@@ -45,6 +45,19 @@ SCRATCH = os.environ.get(
 )
 
 
+def _sweep_stale_scratch() -> None:
+    """tmpfs is RAM: a killed/timed-out bench run (the overnight hunt
+    loop does both) would otherwise pin its shuffle dirs + partial
+    output in /dev/shm forever. Scratch dirs are suffixed with the
+    owning PID — reclaim any whose process is gone."""
+    import glob
+
+    for d in glob.glob(f"{SCRATCH}/sg_spark_local_*") + glob.glob(f"{SCRATCH}/sg_bench_out_*"):
+        pid = d.rsplit("_", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -96,6 +109,7 @@ def main() -> None:
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
 
+    _sweep_stale_scratch()
     corpus_dir, rows = bench_corpus(sf)
     spark = get_spark(
         app_name=f"bench-{cores}",
@@ -106,32 +120,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: the extraction pipeline (docs/sec is the north-star metric)
-    ext_sec, docs_per_sec = time_extraction(spark, corpus_dir, rows, args.extraction_repeats)
-    timings["extraction_pipeline"] = round(ext_sec, 3)
+    try:
+        # headline: the extraction pipeline (docs/sec is the north-star metric)
+        ext_sec, docs_per_sec = time_extraction(spark, corpus_dir, rows, args.extraction_repeats)
+        timings["extraction_pipeline"] = round(ext_sec, 3)
 
-    if not args.extraction_only:
-        for name, fn in E.queries().items():
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # materialize EVERY column's values: count() lets Catalyst
-            # prune unused projections (including pandas UDFs and the
-            # regex chains under test), so it would time a bare scan —
-            # hashing all columns into one aggregate forces the full
-            # plan to run while keeping the collected result tiny
-            n = df.select(
-                F.count("*").alias("n"),
-                # decimal accumulator: a long sum of 64-bit hashes
-                # overflows (ANSI mode raises)
-                F.sum(
-                    F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
-                ).alias("h"),
-            ).collect()[0]["n"]
-            timings[name] = round(time.perf_counter() - t0, 3)
-            _ = n
-    total = round(sum(timings.values()), 3)
-    spark.stop()
-    shutil.rmtree(f"{SCRATCH}/sg_spark_local_{os.getpid()}", ignore_errors=True)
+        if not args.extraction_only:
+            for name, fn in E.queries().items():
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # materialize EVERY column's values: count() lets Catalyst
+                # prune unused projections (including pandas UDFs and the
+                # regex chains under test), so it would time a bare scan —
+                # hashing all columns into one aggregate forces the full
+                # plan to run while keeping the collected result tiny
+                n = df.select(
+                    F.count("*").alias("n"),
+                    # decimal accumulator: a long sum of 64-bit hashes
+                    # overflows (ANSI mode raises)
+                    F.sum(
+                        F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+                    ).alias("h"),
+                ).collect()[0]["n"]
+                timings[name] = round(time.perf_counter() - t0, 3)
+                _ = n
+        total = round(sum(timings.values()), 3)
+    finally:
+        spark.stop()
+        shutil.rmtree(f"{SCRATCH}/sg_spark_local_{os.getpid()}", ignore_errors=True)
+        shutil.rmtree(f"{SCRATCH}/sg_bench_out_{os.getpid()}", ignore_errors=True)
 
     print(
         json.dumps(

@@ -30,9 +30,21 @@ BLUEPRINT_SCHEMA = T.ArrayType(
 def split_on_headings(c: Column) -> Column:
     """M10 variant 3: split text into sections at markdown headings —
     the reference uses ``re.split(r'(?=\\n#+\\s)')``; lookahead-free
-    equivalent: inject a sentinel before each heading, then split."""
+    equivalent: inject a sentinel before each heading, then split.
+
+    Sections are kept only if they contain a non-WHITESPACE character
+    (full class, not ``trim``'s space-only strip): an all-whitespace
+    section like ``" \\n "`` would otherwise survive here, produce an
+    empty line list in ``section_to_slide``, and crash the task under
+    ANSI ``element_at`` — diverging from the DuckDB twin instead of
+    being row-tolerant."""
+    from pdf_to_text_spark.core.textnorm import CLS_A
+
     marked = F.regexp_replace(c, r"\n(#+[ ])", "\x01$1")
-    return F.filter(F.split(marked, "\x01"), lambda s: F.length(F.trim(s)) > 0)
+    return F.filter(
+        F.split(marked, "\x01"),
+        lambda s: F.length(F.regexp_replace(s, f"{CLS_A}+", "")) > 0,
+    )
 
 
 def section_to_slide(section: Column) -> Column:

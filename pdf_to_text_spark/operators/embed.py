@@ -43,19 +43,21 @@ EMBED_DIM = 16
 _TOKEN_RE = re.compile(r"[^a-z0-9]+")
 
 # executor-singleton state (the "loaded model" analog): token hashes
-# repeat heavily across documents, so memoizing (bucket, sign) per token
-# turns the md5 into a dict hit for all but the first occurrence
-_memo: dict[str, tuple[int, float]] = {}
+# repeat heavily across documents, so memoizing the md5 per token turns
+# it into a dict hit for all but the first occurrence. The memo stores
+# the RAW 32-bit hash, not (bucket, sign): bucket = h % dim depends on
+# dim, and Spark reuses Python workers across jobs, so a dim-keyed
+# value would leak one embedding dimension into the next call's vectors
+_memo: dict[str, int] = {}
 
 
 def _bucket_sign(w: str, dim: int) -> tuple[int, float]:
-    got = _memo.get(w)
-    if got is None:
+    h = _memo.get(w)
+    if h is None:
         h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
-        got = (h % dim, 1.0 if (h >> 31) & 1 == 0 else -1.0)
         if len(_memo) < 1_000_000:  # bound executor memory
-            _memo[w] = got
-    return got
+            _memo[w] = h
+    return h % dim, 1.0 if (h >> 31) & 1 == 0 else -1.0
 
 
 def _embed_one(text: str | None, dim: int) -> list[float]:

@@ -101,7 +101,7 @@ def windowed_event_counts(events_df, window: str = "1 hour"):
         # decimal addends: order-independent sum (see __spark_entry__._dsum)
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )

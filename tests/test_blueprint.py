@@ -94,3 +94,22 @@ def test_blueprint_to_markdown_reference_format(spark):
         "## Next\n- only\n\n"
     )
     assert got == expected
+
+
+def test_whitespace_only_section_is_dropped_not_crash(spark):
+    """An all-whitespace text (or section) must yield zero slides —
+    previously F.element_at on an empty line list aborted the task
+    under Spark 4 ANSI (and diverged from the DuckDB twin)."""
+    from pdf_to_text_spark.operators.blueprint import text_to_blueprint
+
+    df = spark.createDataFrame(
+        [(0, " \n "), (1, ""), (2, "\t\n\x0b"), (3, " \n \n# real\n- point\n# next")],
+        "i long, t string",
+    )
+    rows = {
+        r["i"]: r["bp"]
+        for r in df.select("i", text_to_blueprint(F.col("t")).alias("bp")).collect()
+    }
+    assert rows[0] == [] and rows[1] == [] and rows[2] == []
+    # the whitespace-only leading section is dropped, the real ones kept
+    assert [s.title for s in rows[3]] == ["real", "next"]

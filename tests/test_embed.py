@@ -47,3 +47,18 @@ def test_centrality_chain_from_text(spark):
     # group h: doc 4 alone (no counterpart after the zero-vector filter)
     # → no pairs → no centrality rows; and doc 5 never appears
     assert out.filter(F.col("source") == "h").count() == 0
+
+
+def test_embedder_memo_is_dim_independent():
+    """The executor-singleton token memo must not leak one dim's
+    buckets into another call's vectors (Spark reuses Python workers
+    across jobs) — previously dim 16 then dim 8 raised IndexError."""
+    from pdf_to_text_spark.operators import embed as M
+
+    M._memo.clear()
+    a16 = M._embed_one("hello world foo bar", 16)
+    a8 = M._embed_one("hello world foo bar", 8)  # memo warm from dim 16
+    M._memo.clear()
+    assert M._embed_one("hello world foo bar", 8) == a8
+    M._memo.clear()
+    assert M._embed_one("hello world foo bar", 16) == a16
