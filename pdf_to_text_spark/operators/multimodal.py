@@ -23,7 +23,9 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MEDIA_META_SCHEMA = (
     "media_id long, kind string, width int, height int, n_bytes long, decode_error string"
@@ -194,6 +196,22 @@ def rasterize_pages(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.select(id_col, text_col).mapInPandas(
         batches, schema=f"{id_col} {id_type}, page_png binary"
     )
+
+
+def rasterize_col(text: Column) -> Column:
+    """Column-shaped M2 variant: text → page-PNG bytes as a scalar
+    Arrow UDF, for composing the raster into a wider projection (e.g.
+    the artifact-export job) without the frame-join a ``mapInPandas``
+    transform would force — keeps the whole artifact row one
+    shuffle-free select."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _r(s: pd.Series) -> pd.Series:
+        from pdf_to_text_spark.core.raster import rasterize_text
+
+        return s.map(lambda t: rasterize_text(t) if t is not None else None)
+
+    return _r(text)
 
 
 def ocr_pages(df: DataFrame, png_col: str = "page_png", id_col: str = "doc_id") -> DataFrame:
