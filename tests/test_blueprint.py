@@ -113,3 +113,42 @@ def test_whitespace_only_section_is_dropped_not_crash(spark):
     assert rows[0] == [] and rows[1] == [] and rows[2] == []
     # the whitespace-only leading section is dropped, the real ones kept
     assert [s.title for s in rows[3]] == ["real", "next"]
+
+
+def test_blueprint_fuzz_parity_vs_python_spec(spark):
+    """Catalyst blueprint == a pure-Python replica of the frozen spec
+    on adversarial inputs (whitespace-only sections, bare '#', mixed
+    bullets, unicode, tabs). Pins the split/trim/strip rules the four
+    blueprint oracles replay in SQL."""
+    import random
+    import re
+
+    from pdf_to_text_spark.core.textnorm import CLS_A
+
+    def py_blueprint(text: str):
+        marked = re.sub(r"\n(#+ )", "\x01\\1", text)
+        out = []
+        for sec in marked.split("\x01"):
+            if not re.sub(f"{CLS_A}+", "", sec):
+                continue
+            lines = [ln.strip(" ") for ln in sec.split("\n")]
+            lines = [ln for ln in lines if ln]
+            title = re.sub(r"^#+ ", "", lines[0])
+            content = [re.sub(r"^[*•\-] ", "", ln) for ln in lines[1:]]
+            out.append((title, content))
+        return out
+
+    rng = random.Random(4812)
+    frags = ["# Head", "## Sub x", "- b1", "* b2", "• b3", "plain", "",
+             " ", "\t", "#", "# ", "-", "café •", "  spaced  "]
+    cases = [
+        "\n".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: [(s.title, list(s.content)) for s in r["bp"]]
+        for r in df.select("i", text_to_blueprint(F.col("t")).alias("bp")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == py_blueprint(s), (i, repr(s), got[i])
