@@ -346,6 +346,14 @@ def _q42_pairwise_label(spark, sf):
     return S.pairwise_topk_per_label(e, k=3)
 
 
+def _q49_lsh_near_dup(spark, sf):
+    """Embedding near-dup with a sign-LSH blocking key instead of the
+    label (the scale path q42's docstring points to), including the
+    hot-bucket cap the dedup tier uses."""
+    e = _t(spark, sf, "embeddings")
+    return S.lsh_near_dup_pairs(e, PLANES, threshold=0.3, max_bucket=500)
+
+
 def _q43_centrality_topk(spark, sf):
     """Extractive-summarizer analog (SURVEY J1/O3/M9): per label,
     centrality = Σ cosine to the other members; top-3 most central."""
@@ -588,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_docx_xml": _q28_docx_xml,
         "q29_raster_ocr": _q29_raster_ocr,
         "q48_pptx_slides": _q48_pptx_slides,
+        "q49_lsh_near_dup": _q49_lsh_near_dup,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
     }
@@ -924,6 +933,19 @@ where round(n_common / (sa.n_sh + sb.n_sh - n_common)::double, 6) >= 0.3
         "q40_ann_topk_bruteforce": f"""
 select vec_id, {cos} as score from embeddings
 order by score desc, vec_id asc limit 10
+""",
+        "q49_lsh_near_dup": f"""
+with e as (
+  select vec_id, embedding::DOUBLE[] as v, ({plane_bucket}) as bucket
+  from embeddings),
+keep as (select bucket from e group by bucket having count(*) <= 500),
+k as (select e.* from e join keep using (bucket)),
+pairs as (
+  select a.bucket, a.vec_id as id_a, b.vec_id as id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) as score
+  from k a join k b on a.bucket = b.bucket and a.vec_id < b.vec_id)
+select bucket, id_a, id_b, score from pairs where score >= 0.3
 """,
         "q41_ann_topk_lsh": f"""
 select vec_id, {cos} as score from embeddings

@@ -127,6 +127,51 @@ def ivf_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.9,
+    max_bucket: int | None = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: the blocking key is a
+    sign-LSH bucket, not a label — the global self-join becomes an
+    equi-join on the bucket id, pruning ~(1 − 1/2^bits) of candidate
+    pairs (the scale path ``pairwise_topk_per_label``'s docstring
+    points to). ``max_bucket`` is the same hot-key cap the dedup tier
+    applies (a degenerate bucket — e.g. all-zero embeddings — would be
+    quadratic): oversized buckets are dropped whole via a BROADCAST
+    anti-join, never shuffled. Output: (bucket, id_a, id_b, score ≥
+    threshold)."""
+    with_b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    if max_bucket is not None:
+        hot = (
+            with_b.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("bucket")
+        )
+        with_b = with_b.join(F.broadcast(hot), "bucket", "left_anti")
+    a = with_b.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = with_b.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket", "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

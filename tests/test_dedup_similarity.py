@@ -131,3 +131,25 @@ def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
     assert capped.filter(F.col("id_a") < 100).count() == 0
     # …but the small dup pair's buckets (size 2) still collide
     assert capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+
+
+def test_lsh_near_dup_pairs_hot_bucket_cap(spark):
+    """q42's scale path: near-dup blocking by sign-LSH bucket, with the
+    dedup tier's hot-key discipline — a degenerate bucket (here:
+    identical vectors, all landing together) above max_bucket is
+    dropped WHOLE via broadcast anti-join, not joined quadratically."""
+    from pdf_to_text_spark.operators.similarity import lsh_near_dup_pairs
+
+    planes = [[1.0] * 4, [1.0, -1.0, 1.0, -1.0]]
+    hot = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(20)]       # one bucket, identical
+    cool = [(100, [-1.0, -0.9, -1.0, -1.1]), (101, [-1.0, -1.0, -1.0, -1.0])]
+    df = spark.createDataFrame(hot + cool, "vec_id long, embedding array<float>")
+
+    uncapped = lsh_near_dup_pairs(df, planes, threshold=0.9, max_bucket=None)
+    assert uncapped.count() == 20 * 19 // 2 + 1  # hot pairs + the cool pair
+
+    capped = lsh_near_dup_pairs(df, planes, threshold=0.9, max_bucket=10)
+    rows = capped.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(100, 101)]  # hot bucket gone
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
