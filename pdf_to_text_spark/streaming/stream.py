@@ -92,6 +92,41 @@ def stream_dedup_urls(
     )
 
 
+def stream_windowed_counts(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: str,
+    window: str = "1 hour",
+    late: str = "30 minutes",
+):
+    """Watermarked streaming window aggregation (task brief: watermarks
+    + windowed aggs for late data). Event-time tumbling windows over a
+    parquet-file stream; rows later than the watermark delay are
+    DROPPED, rows late-but-within-delay still land in their window;
+    append mode emits each window once, when the watermark passes its
+    end. ``availableNow`` + checkpoint → incremental batch runs (the
+    watermark advances across runs like across micro-batches)."""
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        ev.withWatermark("ts", late)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_counts(events_df, window: str = "1 hour"):
     """Tumbling event-time window aggregation (engine capability check
     against the driver's ``events`` table; watermark applies only under

@@ -69,3 +69,36 @@ def test_incremental_streaming_extraction(spark, corpus_dir, golden_extracted, t
 
     j = got.alias("g").join(golden_extracted.alias("o"), "url", "inner")
     assert j.filter(~F.col("g.extracted_text").eqNullSafe(F.col("o.extracted_text"))).count() == 0
+
+
+def test_stream_windowed_counts_watermark_late_data(spark, tmp_path):
+    """Late row within the watermark delay lands in its window;
+    a too-late row is dropped; append emits each finalized window once."""
+    from datetime import datetime
+
+    from pdf_to_text_spark.streaming.stream import stream_windowed_counts
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "ts timestamp, event_type string"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream_windowed_counts(spark, src, out, ckpt, schema, "1 hour", "30 minutes")
+        _ = name
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    drop("d1", [(t(9, 5), "a"), (t(10, 5), "a"), (t(10, 15), "a"), (t(11, 5), "b")])
+    # watermark is now 10:35: the 9:00 window (end 10:00 <= wm) is
+    # closed — 9:45 is TOO late and dropped; the 10:00 window is still
+    # open — 10:50 is late-but-ok and lands in it
+    drop("d2", [(t(9, 45), "a"), (t(10, 50), "a"), (t(11, 40), "b")])
+    # advance the watermark past 12:00 so the remaining windows finalize
+    drop("d3", [(t(12, 31), "b")])
+
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(9, "a"): 1, (10, "a"): 3, (11, "b"): 2}, got
