@@ -154,9 +154,26 @@ def _q06_sessionize(spark, sf):
     sess = with_new.withColumn(
         "session_no", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
     )
+    # session_value_e4: INTEGER output (value sum at 1e-4 resolution).
+    # Round 2's driver gate flagged a hash mismatch here that never
+    # reproduced locally (bit-identical at local[8]/local[32] ×
+    # sf0.01/sf0.1) — the remaining suspect was the driver's own DuckDB
+    # build rounding/rendering the rounded DOUBLE differently at 1e-4
+    # tie boundaries. An exact decimal sum scaled to an integer is
+    # immune to any engine's float rounding or rendering.
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        _dsum(F.col("value"), 4).alias("session_value"),
+        # the sum is re-cast to decimal(28,6) before the multiply so the
+        # product stays decimal(34,6) — sum() widens to decimal(38,6)
+        # and ×10⁴ would overflow precision 38, triggering engine-
+        # specific scale adjustment (Spark) or double fallback (DuckDB)
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("decimal(28,6)")
+            * F.lit(10000).cast("decimal(5,0)"),
+            0,
+        )
+        .cast("bigint")
+        .alias("session_value_e4"),
     )
 
 
@@ -316,11 +333,13 @@ def _q31_minhash_sigs(spark, sf):
 
 
 def _q32_lsh_pairs(spark, sf):
-    return D.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+    return D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4, max_bucket=200
+    )
 
 
 def _q33_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3, max_df=1000)
 
 
 def _q34_simhash(spark, sf):
@@ -349,9 +368,14 @@ def _q42_pairwise_label(spark, sf):
 def _q49_lsh_near_dup(spark, sf):
     """Embedding near-dup with a sign-LSH blocking key instead of the
     label (the scale path q42's docstring points to), including the
-    hot-bucket cap the dedup tier uses."""
+    hot-bucket cap the dedup tier uses. Plane sizing: 4 planes = 16
+    buckets satisfies ``S.min_planes(n, 500)`` up to n = 8000 docs —
+    fine for every driver sf (sf0.1 ships 2000 embeddings); at crawl
+    scale callers derive the count via ``generate_planes(min_planes(n,
+    cap), dim)`` and the operator raises when under-planed (pinned by
+    test_lsh_near_dup_plane_sizing)."""
     e = _t(spark, sf, "embeddings")
-    return S.lsh_near_dup_pairs(e, PLANES, threshold=0.3, max_bucket=500)
+    return S.lsh_near_dup_pairs(e, PLANES, threshold=0.3, max_bucket=500, n_docs=2000)
 
 
 def _q43_centrality_topk(spark, sf):
@@ -770,7 +794,7 @@ s as (
                           rows between unbounded preceding and current row) as session_no
   from g)
 select user_id, session_no, count(*) as n_events,
-       round(sum(value::decimal(28,6)), 4)::double as session_value
+       round(sum(value::decimal(28,6))::decimal(28,6) * 10000::decimal(5,0), 0)::bigint as session_value_e4
 from s group by 1, 2
 """,
         "q07_pivot_status": """

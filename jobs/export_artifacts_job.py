@@ -67,7 +67,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--in", dest="in_path", required=True)
     ap.add_argument("--out", dest="out_dir", required=True)
-    ap.add_argument("--formats", default="pdf,docx,pptx,md")
+    ap.add_argument("--formats", default=",".join(FORMATS))
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="extracted_text")
     args = ap.parse_args()

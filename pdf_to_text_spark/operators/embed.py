@@ -99,6 +99,7 @@ def centrality_topk_from_text(
     group_col: str = "source",
     k: int = 3,
     dim: int = EMBED_DIM,
+    cache: bool = True,
 ) -> DataFrame:
     """The reference's extractive-summarizer chain run from RAW TEXT
     (prepare → embed → cosine matrix → row-sum → top-k,
@@ -124,8 +125,11 @@ def centrality_topk_from_text(
     )
     # both sides of the self-join read this frame: cache so the embed
     # UDF evaluates once per doc, not once per join side (at production
-    # scale the embedding table is a materialized intermediate instead)
-    e = e.cache()
+    # scale the embedding table is a materialized intermediate instead).
+    # Not unpersisted here — the returned plan reads it lazily; repeated
+    # callers in a long-lived session pass cache=False or clearCache()
+    if cache:
+        e = e.cache()
     a = e.select(
         F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), F.col("vn").alias("va")
     )

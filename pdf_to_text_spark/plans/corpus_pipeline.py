@@ -49,6 +49,7 @@ def build_training_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     near_dup_min_bands: int | None = None,
+    max_bucket: int | None = 200,
 ) -> dict:
     """pages table → deduplicated quality corpus at ``out_dir``.
 
@@ -96,7 +97,7 @@ def build_training_corpus(
     # bands are duplicates; semantics = pairwise drop (see near_dup_drop)
     pairs = minhash_lsh_pairs(
         exact_unique, text_col="extracted_text", id_col="url",
-        num_hashes=num_hashes, bands=bands,
+        num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
     ).filter(F.col("n_bands") >= near_dup_min_bands)
     final = near_dup_drop(exact_unique, pairs, "url")
     final.write.mode("overwrite").parquet(f"{out_dir}/corpus")

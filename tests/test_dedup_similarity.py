@@ -153,3 +153,51 @@ def test_lsh_near_dup_pairs_hot_bucket_cap(spark):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(100, 101)]  # hot bucket gone
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_lsh_near_dup_plane_sizing(spark):
+    """Round-2 verdict item 4: the plane count must be sized so the
+    EXPECTED bucket (n/2^p) stays under max_bucket — under-planed LSH at
+    crawl scale saturates every bucket and the hot-bucket cap silently
+    drops the whole corpus. The sizing rule is now enforced (raise, not
+    empty output) and auto-derivable via min_planes/generate_planes."""
+    import hashlib
+
+    import pytest
+
+    from pdf_to_text_spark.operators.similarity import (
+        generate_planes,
+        lsh_near_dup_pairs,
+        min_planes,
+    )
+
+    # 120 vectors = 60 deterministic pseudo-random points, each duplicated
+    # (identical twins share any bucket and score cosine 1.0)
+    def vec(i):
+        return [
+            (hashlib.md5(f"v{i}:{j}".encode()).digest()[0] - 127.5) / 128.0
+            for j in range(8)
+        ]
+
+    rows = [(2 * i + half, vec(i)) for i in range(60) for half in (0, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # sizing rule arithmetic
+    assert min_planes(120, 10) == 4            # 2^4 = 16 ≥ 120/10
+    assert min_planes(10**8, 500) == 18        # crawl scale: q49's 4 planes way off
+    assert min_planes(100, 1000) == 1          # cap bigger than corpus → any planes
+
+    # under-planed + cap + known corpus size → refuse up front
+    two = generate_planes(2, 8)
+    with pytest.raises(ValueError, match="min_planes"):
+        lsh_near_dup_pairs(df, two, threshold=0.99, max_bucket=10, n_docs=120)
+
+    # auto-sized planes: the same corpus/cap yields non-empty output
+    sized = generate_planes(min_planes(120, 10), 8)
+    pairs = lsh_near_dup_pairs(df, sized, threshold=0.99, max_bucket=10, n_docs=120)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got, "sized planes must not yield an empty corpus"
+    # at least one twin pair (exact dup, cosine 1.0) survives the cap
+    assert any(a % 2 == 0 and b == a + 1 for a, b in got)
+    # planes are deterministic across calls
+    assert generate_planes(3, 8) == generate_planes(3, 8)
