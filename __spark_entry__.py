@@ -346,6 +346,21 @@ def _q34_simhash(spark, sf):
     return D.simhash_table(_t(spark, sf, "documents"))
 
 
+def _q52_near_dup_components(spark, sf):
+    """Transitive near-dup clustering: connected components (iterated
+    min-label propagation, ``plans/components.py``) over the q32 LSH
+    candidate pairs — the standard crawl-dedup semantics, one survivor
+    per cluster. Iterative with a driver-side convergence probe, yet
+    fully SQL-checkable: the oracle computes the same closure with a
+    recursive CTE."""
+    from pdf_to_text_spark.plans.components import connected_components
+
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4, max_bucket=200
+    )
+    return connected_components(pairs)
+
+
 def _q40_ann_bruteforce(spark, sf):
     return S.brute_force_topk(_t(spark, sf, "embeddings"), QVEC, k=10)
 
@@ -439,19 +454,25 @@ def _q45_nfkc(spark, sf):
     )
 
 
-def _q23_chart_parse(spark, sf):
-    """F11 chart-string parse: synthesize a deterministic chart string
-    per doc (with malformed points exercising the 0.0-on-failure and
-    no-colon-skip rules), parse, explode points to flat rows."""
-    d = _t(spark, sf, "documents")
-    cs = F.concat(
+def _chart_src() -> Column:
+    """Deterministic chart string per doc (with malformed points
+    exercising the 0.0-on-failure and no-colon-skip rules) — the shared
+    input of q23 (parse) and q50 (parse → chart part XML); its DuckDB
+    twin is the shared ``src`` CTE."""
+    return F.concat(
         F.lit("Report "), F.col("doc_id").cast("string"),
         F.lit(", series_"), (F.col("doc_id") % 3).cast("string"),
         F.lit(", Q1: $"), (F.col("doc_id") % 97).cast("string"), F.lit(".5"),
         F.lit(", Q2:"), F.substring(F.col("text"), 1, 2),
         F.lit(", Q3 : 7 USD, malformed part, Q4:1.2.3"),
     )
-    p = d.select("doc_id", X.parse_chart_string(cs).alias("ch"))
+
+
+def _q23_chart_parse(spark, sf):
+    """F11 chart-string parse: parse the synthesized chart string,
+    explode points to flat rows."""
+    d = _t(spark, sf, "documents")
+    p = d.select("doc_id", X.parse_chart_string(_chart_src()).alias("ch"))
     return p.select(
         "doc_id",
         F.col("ch.title").alias("title"),
@@ -522,6 +543,43 @@ def _q48_pptx_slides(spark, sf):
         F.posexplode(blueprint_to_slide_xml(text_to_blueprint(md_src))).alias(
             "slide_no", "slide_xml"
         ),
+    )
+
+
+def _q51_image_placeholder(spark, sf):
+    """F10 end-to-end (the last F-function without a driver gate):
+    markdown bullets carrying [Image of X] tags → blueprint → DOCX
+    document XML where tagged lines are REPLACED by the reference's
+    🖼️ [PROMPT: X] placeholder paragraph
+    (core_document_processing.py:348-357) — case-insensitive match,
+    topic stripped, tag-free lines untouched. The oracle hand-computes
+    the expected XML from doc_id, so the whole extract→render chain is
+    hash-checked."""
+    from pdf_to_text_spark.operators.blueprint import blueprint_to_docx_xml, text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    md = F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"),
+        F.lit("\n- intro point\n- [Image of pipeline "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" ]\n- see [IMAGE OF spark shuffle] diagram\n- closing point"),
+    )
+    return d.select("doc_id", blueprint_to_docx_xml(text_to_blueprint(md)).alias("docx_xml"))
+
+
+def _q50_chart_xml(spark, sf):
+    """K5 chart part: parsed chart string → clustered-column
+    ``c:chartSpace`` DrawingML part (the reference's python-pptx
+    ``add_chart`` data path, pptx_designer.py:131-172). The XML is
+    pure Catalyst so the whole chart-data pipeline — parse, point
+    explode, str/numCache assembly — is hash-checked; the OPC wiring
+    (per-slide rels + content-type override) is pinned by
+    tests/test_pptxsink.py."""
+    from pdf_to_text_spark.functions.pptxsink import chart_to_chart_xml
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", chart_to_chart_xml(X.parse_chart_string(_chart_src())).alias("chart_xml")
     )
 
 
@@ -623,12 +681,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_lsh_near_dup": _q49_lsh_near_dup,
         "q45_nfkc_lower": _q45_nfkc,
         "q46_embed_centrality": _q46_embed_centrality,
+        "q50_chart_xml": _q50_chart_xml,
+        "q51_image_placeholder": _q51_image_placeholder,
+        "q52_near_dup_components": _q52_near_dup_components,
     }
 
 
 # ---------------------------------------------------------------- oracle SQL
 
 _CLS = CLS_A  # whitespace class incl. \xa0, shared with the engine
+
+
+def _sql_render_pt(p: str) -> str:
+    """DuckDB twin of ``functions.text.render_image_placeholder`` (F10):
+    a content line carrying a case-insensitive [Image of X] tag becomes
+    '🖼️ [PROMPT: X]' (topic stripped), other lines pass through.
+    Applied wherever the engine sinks consume blueprint points."""
+    tag = f"regexp_extract({p}, '(?i)\\[image of (.+?)\\]', 1)"
+    stripped = f"regexp_replace(regexp_replace({tag}, '^{_CLS}+', ''), '{_CLS}+$', '')"
+    return (
+        f"case when {tag} <> '' then '🖼️ [PROMPT: ' || {stripped} || ']' else {p} end"
+    )
 
 _WORDS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
 _SENTS = (
@@ -682,6 +755,26 @@ def _sig_cols(num_hashes: int) -> str:
     return ", ".join(
         f"min(md5('{k}:' || shingle)) as sig_{k}" for k in range(num_hashes)
     )
+
+
+def _lsh_pair_ctes() -> str:
+    """Shared DuckDB replay of minhash_lsh_pairs(num_hashes=8, bands=4,
+    max_bucket=200) up to the banded/capped table ``b2`` — used by q32
+    (pair emission) and q52 (connected components over the pairs)."""
+    return f"""w as (select doc_id, {_WORDS} as words from documents),
+     sh as (select doc_id, {_SHINGLES} as shingles from w),
+     e as (select doc_id, unnest(shingles) as shingle from sh),
+     sigs as (select doc_id, {_sig_cols(8)} from e group by doc_id),
+     bands as (
+       select doc_id, 0 as band_no, md5(sig_0||'|'||sig_1) as bh from sigs
+       union all select doc_id, 1, md5(sig_2||'|'||sig_3) from sigs
+       union all select doc_id, 2, md5(sig_4||'|'||sig_5) from sigs
+       union all select doc_id, 3, md5(sig_6||'|'||sig_7) from sigs),
+     -- hot-bucket cap (mirrors minhash_lsh_pairs max_bucket=200)
+     hotb as (select band_no, bh from bands group by 1, 2 having count(*) > 200),
+     b2 as (select bands.* from bands left join hotb
+            on bands.band_no = hotb.band_no and bands.bh = hotb.bh
+            where hotb.bh is null)"""
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -917,23 +1010,28 @@ with w as (select doc_id, {_WORDS} as words from documents),
 select doc_id, {_sig_cols(8)} from e group by doc_id
 """,
         "q32_minhash_lsh_pairs": f"""
-with w as (select doc_id, {_WORDS} as words from documents),
-     sh as (select doc_id, {_SHINGLES} as shingles from w),
-     e as (select doc_id, unnest(shingles) as shingle from sh),
-     sigs as (select doc_id, {_sig_cols(8)} from e group by doc_id),
-     bands as (
-       select doc_id, 0 as band_no, md5(sig_0||'|'||sig_1) as bh from sigs
-       union all select doc_id, 1, md5(sig_2||'|'||sig_3) from sigs
-       union all select doc_id, 2, md5(sig_4||'|'||sig_5) from sigs
-       union all select doc_id, 3, md5(sig_6||'|'||sig_7) from sigs),
-     -- hot-bucket cap (mirrors minhash_lsh_pairs max_bucket=200)
-     hotb as (select band_no, bh from bands group by 1, 2 having count(*) > 200),
-     b2 as (select bands.* from bands left join hotb
-            on bands.band_no = hotb.band_no and bands.bh = hotb.bh
-            where hotb.bh is null)
+with {_lsh_pair_ctes()}
 select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
 from b2 a join b2 b on a.band_no = b.band_no and a.bh = b.bh and a.doc_id < b.doc_id
 group by 1, 2
+""",
+        # q52: transitive closure over the q32 pair graph — recursive
+        # CTE computes reachability, component = min reachable id
+        "q52_near_dup_components": f"""
+with recursive {_lsh_pair_ctes()},
+     prs as (
+       select a.doc_id as id_a, b.doc_id as id_b
+       from b2 a join b2 b on a.band_no = b.band_no and a.bh = b.bh and a.doc_id < b.doc_id
+       group by 1, 2),
+     edges as (select id_a as s, id_b as d from prs
+               union select id_b, id_a from prs),
+     reach as (
+       select s, d from edges
+       union
+       select r.s, e2.d from reach r join edges e2 on r.d = e2.s),
+     comp as (select s as node, least(s, min(d)) as component
+              from reach group by s)
+select node as doc_id, component from comp
 """,
         "q33_ngram_jaccard": f"""
 with w as (select doc_id, {_WORDS} as words from documents),
@@ -1044,7 +1142,7 @@ select doc_id, slide_no,
             || '<p:txBody><a:bodyPr/>'
             || array_to_string(list_transform(points,
                  p -> '<a:p><a:r><a:t>'
-                      || replace(replace(replace(p, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                      || replace(replace(replace({_sql_render_pt("p")}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
                       || '</a:t></a:r></a:p>'), '')
             || '</p:txBody></p:sp>'
           else '' end
@@ -1073,7 +1171,7 @@ px as (
          || array_to_string(list_transform(points,
               p -> '<w:p><w:pPr><w:pStyle w:val="ListBullet"/></w:pPr>'
                    || '<w:r><w:t xml:space="preserve">'
-                   || replace(replace(replace(p, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || replace(replace(replace({_sql_render_pt("p")}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
                    || '</w:t></w:r></w:p>'), '')
          || case when slide_no < n_slides - 1
                  then '<w:p><w:r><w:br w:type="page"/></w:r></w:p>' else '' end as sx
@@ -1087,6 +1185,30 @@ select doc_id,
        || '</w:body></w:document>' as docx_xml
 from px
 group by doc_id
+""",
+        # q51: the oracle computes the EXPECTED docx XML directly from
+        # doc_id (the synthesized markdown is fully determined by it) —
+        # an independent hand-derivation of the F10 placeholder flow,
+        # not a replay of the engine's steps
+        "q51_image_placeholder": """
+with b as (
+  select doc_id,
+         '<w:p><w:pPr><w:pStyle w:val="ListBullet"/></w:pPr><w:r><w:t xml:space="preserve">' as bo,
+         '</w:t></w:r></w:p>' as bc
+  from documents)
+select doc_id,
+       '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
+       || '<w:document xmlns:w='
+       || '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+       || '<w:body>'
+       || '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t xml:space="preserve">doc '
+       || doc_id || '</w:t></w:r></w:p>'
+       || bo || 'intro point' || bc
+       || bo || '🖼️ [PROMPT: pipeline ' || (doc_id % 7) || ']' || bc
+       || bo || '🖼️ [PROMPT: spark shuffle]' || bc
+       || bo || 'closing point' || bc
+       || '</w:body></w:document>' as docx_xml
+from b
 """,
         "q27_pdf_sink": r"""
 with lines as (
@@ -1189,6 +1311,76 @@ select doc_id, title, series, u.pos as pos,
        coalesce(try_cast(regexp_replace(substr(u.pt, strpos(u.pt, ':') + 1),
                          '[^0-9.]', '', 'g') as double), 0.0) as value
 from ex
+""",
+        # q50: q23's parse chain + the chart-part template — the same
+        # per-point rows, re-aggregated into str/numCache XML
+        "q50_chart_xml": f"""
+with src as (
+  select doc_id,
+         'Report ' || doc_id || ', series_' || (doc_id % 3) || ', Q1: $' || (doc_id % 97) ||
+         '.5, Q2:' || substr(text, 1, 2) || ', Q3 : 7 USD, malformed part, Q4:1.2.3' as cs
+  from documents),
+p as (select doc_id, string_split(cs, ',') as parts from src where len(string_split(cs, ',')) >= 3),
+pts as (
+  select doc_id,
+         regexp_replace(regexp_replace(parts[1], '^{_CLS}+', ''), '{_CLS}+$', '') as title,
+         regexp_replace(regexp_replace(parts[2], '^{_CLS}+', ''), '{_CLS}+$', '') as series,
+         list_filter(parts[3:], x -> strpos(x, ':') > 0) as raw
+  from p),
+ex as (
+  select doc_id, title, series,
+         unnest([{{'pos': i - 1, 'pt': raw[i]}} for i in range(1, len(raw) + 1)]) as u
+  from pts),
+pt as (
+  select doc_id, title, series, u.pos as pos,
+         replace(replace(replace(
+           regexp_replace(regexp_replace(substr(u.pt, 1, strpos(u.pt, ':') - 1),
+                          '^{_CLS}+', ''), '{_CLS}+$', ''),
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') as cat,
+         coalesce(try_cast(regexp_replace(substr(u.pt, strpos(u.pt, ':') + 1),
+                           '[^0-9.]', '', 'g') as double), 0.0)::varchar as val
+  from ex),
+agg as (
+  select doc_id, title, series, count(*) as n,
+         string_agg('<c:pt idx="' || pos || '"><c:v>' || cat || '</c:v></c:pt>', '' order by pos) as cats,
+         string_agg('<c:pt idx="' || pos || '"><c:v>' || val || '</c:v></c:pt>', '' order by pos) as vals
+  from pt group by 1, 2, 3)
+select doc_id,
+       '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
+       || '<c:chartSpace xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart"'
+       || ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+       || ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><c:chart>'
+       || '<c:title><c:tx><c:rich><a:bodyPr/><a:lstStyle/><a:p><a:r><a:t>'
+       || replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</a:t></a:r></a:p></c:rich></c:tx><c:overlay val="0"/></c:title>'
+       || '<c:autoTitleDeleted val="0"/>'
+       || '<c:plotArea><c:layout/>'
+       || '<c:barChart><c:barDir val="col"/><c:grouping val="clustered"/>'
+       || '<c:varyColors val="0"/>'
+       || '<c:ser><c:idx val="0"/><c:order val="0"/>'
+       || '<c:tx><c:strRef><c:f>Sheet1!$B$1</c:f><c:strCache>'
+       || '<c:ptCount val="1"/><c:pt idx="0"><c:v>'
+       || replace(replace(replace(series, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</c:v></c:pt></c:strCache></c:strRef></c:tx>'
+       || '<c:cat><c:strRef><c:f>Sheet1!$A$2:$A$' || (n + 1)
+       || '</c:f><c:strCache><c:ptCount val="' || n || '"/>'
+       || cats
+       || '</c:strCache></c:strRef></c:cat>'
+       || '<c:val><c:numRef><c:f>Sheet1!$B$2:$B$' || (n + 1)
+       || '</c:f><c:numCache><c:formatCode>General</c:formatCode>'
+       || '<c:ptCount val="' || n || '"/>'
+       || vals
+       || '</c:numCache></c:numRef></c:val></c:ser>'
+       || '<c:axId val="111111111"/><c:axId val="222222222"/></c:barChart>'
+       || '<c:catAx><c:axId val="111111111"/><c:scaling><c:orientation val="minMax"/>'
+       || '</c:scaling><c:delete val="0"/><c:axPos val="b"/>'
+       || '<c:crossAx val="222222222"/></c:catAx>'
+       || '<c:valAx><c:axId val="222222222"/><c:scaling><c:orientation val="minMax"/>'
+       || '</c:scaling><c:delete val="0"/><c:axPos val="l"/>'
+       || '<c:crossAx val="111111111"/></c:valAx>'
+       || '</c:plotArea>'
+       || '<c:plotVisOnly val="1"/></c:chart></c:chartSpace>' as chart_xml
+from agg
 """,
         "q24_filename_ops": """
 with p as (

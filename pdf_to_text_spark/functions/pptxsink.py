@@ -60,6 +60,8 @@ def slide_to_xml(slide: Column, slide_no: Column) -> Column:
     Slide 0 uses the title placeholder (``type="ctrTitle"`` on the
     title layout), later slides ``type="title"`` — the O4 first-slide
     rule. Each content point is one ``<a:p>`` bullet paragraph."""
+    from pdf_to_text_spark.functions.text import render_image_placeholder
+
     title_ph = F.when(slide_no == 0, F.lit('type="ctrTitle"')).otherwise(F.lit('type="title"'))
     title_body = F.concat(
         F.lit("<a:p><a:r><a:t>"), _xml_escape(slide["title"]), F.lit("</a:t></a:r></a:p>")
@@ -67,8 +69,11 @@ def slide_to_xml(slide: Column, slide_no: Column) -> Column:
     points = F.array_join(
         F.transform(
             slide["content"],
+            # F10: [Image of X] lines become 🖼️ [PROMPT: X] paragraphs
             lambda pt: F.concat(
-                F.lit("<a:p><a:r><a:t>"), _xml_escape(pt), F.lit("</a:t></a:r></a:p>")
+                F.lit("<a:p><a:r><a:t>"),
+                _xml_escape(render_image_placeholder(pt)),
+                F.lit("</a:t></a:r></a:p>"),
             ),
         ),
         "",
@@ -89,6 +94,126 @@ def blueprint_to_slide_xml(bp: Column) -> Column:
     """Blueprint array → array of slide-XML strings (explode for the
     per-slide frame)."""
     return F.transform(bp, lambda s, i: slide_to_xml(s, i))
+
+
+# ------------------------------------------------------------- chart part
+
+_CHART_NS = (
+    ' xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart"'
+    ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+)
+
+CHART_XML_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    f"<c:chartSpace{_CHART_NS}><c:chart>"
+)
+CHART_XML_TAIL = '<c:plotVisOnly val="1"/></c:chart></c:chartSpace>'
+_AXES = (
+    '<c:axId val="111111111"/><c:axId val="222222222"/></c:barChart>'
+    '<c:catAx><c:axId val="111111111"/><c:scaling><c:orientation val="minMax"/>'
+    '</c:scaling><c:delete val="0"/><c:axPos val="b"/>'
+    '<c:crossAx val="222222222"/></c:catAx>'
+    '<c:valAx><c:axId val="222222222"/><c:scaling><c:orientation val="minMax"/>'
+    '</c:scaling><c:delete val="0"/><c:axPos val="l"/>'
+    '<c:crossAx val="111111111"/></c:valAx>'
+    "</c:plotArea>"
+)
+
+
+def chart_to_chart_xml(ch: Column) -> Column:
+    """Parsed chart struct (F11, ``functions.text.parse_chart_string``)
+    → a complete clustered-column ``c:chartSpace`` part string — the
+    chart DATA path of the reference's themed chart slides
+    (``/root/reference/2_OpenCV_OCR/pptx_designer.py:131-172``:
+    ``ChartData`` categories/series + ``XL_CHART_TYPE.COLUMN_CLUSTERED``
+    via python-pptx ``add_chart``; the parsed title becomes the chart
+    title, parts[1] the series name, the (cat, val) points the
+    str/numCache). Pure Catalyst, so the part is hash-checkable in
+    DuckDB; a null chart struct (the <3-parts reference error path)
+    propagates to a null part."""
+    title = F.concat(
+        F.lit("<c:title><c:tx><c:rich><a:bodyPr/><a:lstStyle/><a:p><a:r><a:t>"),
+        _xml_escape(ch["title"]),
+        F.lit("</a:t></a:r></a:p></c:rich></c:tx><c:overlay val=\"0\"/></c:title>"),
+        F.lit('<c:autoTitleDeleted val="0"/>'),
+    )
+    n = F.size(ch["points"])
+    cats = F.array_join(
+        F.transform(
+            ch["points"],
+            lambda p, i: F.concat(
+                F.lit('<c:pt idx="'), i.cast("string"), F.lit('"><c:v>'),
+                _xml_escape(p["category"]), F.lit("</c:v></c:pt>"),
+            ),
+        ),
+        "",
+    )
+    vals = F.array_join(
+        F.transform(
+            ch["points"],
+            lambda p, i: F.concat(
+                F.lit('<c:pt idx="'), i.cast("string"), F.lit('"><c:v>'),
+                p["value"].cast("string"), F.lit("</c:v></c:pt>"),
+            ),
+        ),
+        "",
+    )
+    last_row = (n + 1).cast("string")
+    ser = F.concat(
+        F.lit('<c:ser><c:idx val="0"/><c:order val="0"/>'),
+        F.lit("<c:tx><c:strRef><c:f>Sheet1!$B$1</c:f><c:strCache>"),
+        F.lit('<c:ptCount val="1"/><c:pt idx="0"><c:v>'),
+        _xml_escape(ch["series"]),
+        F.lit("</c:v></c:pt></c:strCache></c:strRef></c:tx>"),
+        F.lit("<c:cat><c:strRef><c:f>Sheet1!$A$2:$A$"), last_row,
+        F.lit('</c:f><c:strCache><c:ptCount val="'), n.cast("string"), F.lit('"/>'),
+        cats,
+        F.lit("</c:strCache></c:strRef></c:cat>"),
+        F.lit("<c:val><c:numRef><c:f>Sheet1!$B$2:$B$"), last_row,
+        F.lit("</c:f><c:numCache><c:formatCode>General</c:formatCode>"),
+        F.lit('<c:ptCount val="'), n.cast("string"), F.lit('"/>'),
+        vals,
+        F.lit("</c:numCache></c:numRef></c:val></c:ser>"),
+    )
+    return F.concat(
+        F.lit(CHART_XML_HEAD),
+        title,
+        F.lit("<c:plotArea><c:layout/>"),
+        F.lit('<c:barChart><c:barDir val="col"/><c:grouping val="clustered"/>'),
+        F.lit('<c:varyColors val="0"/>'),
+        ser,
+        F.lit(_AXES),
+        F.lit(CHART_XML_TAIL),
+    )
+
+
+def chart_slide_xml(title: Column) -> Column:
+    """A content slide hosting a chart: title placeholder + a
+    ``p:graphicFrame`` whose graphicData references the slide's chart
+    part as ``r:id="rId1"`` (resolved by the per-slide rels that
+    ``pptx_package_with_charts`` emits). Geometry matches the
+    reference's Inches(1), Inches(1.5), 8×5 in EMUs
+    (pptx_designer.py:168: ``x, y, cx, cy``)."""
+    title_body = F.concat(
+        F.lit("<a:p><a:r><a:t>"), _xml_escape(title), F.lit("</a:t></a:r></a:p>")
+    )
+    frame = F.lit(
+        '<p:graphicFrame><p:nvGraphicFramePr><p:cNvPr id="4" name="Chart"/>'
+        "<p:cNvGraphicFramePr/><p:nvPr/></p:nvGraphicFramePr>"
+        '<p:xfrm><a:off x="914400" y="1371600"/><a:ext cx="7315200" cy="4572000"/></p:xfrm>'
+        '<a:graphic><a:graphicData uri='
+        '"http://schemas.openxmlformats.org/drawingml/2006/chart">'
+        '<c:chart xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+        ' r:id="rId1"/></a:graphicData></a:graphic></p:graphicFrame>'
+    )
+    return F.concat(
+        F.lit(SLIDE_XML_HEAD),
+        _sp(F.lit('type="title"'), title_body, shape_id=2, name="Title"),
+        frame,
+        F.lit(SLIDE_XML_TAIL),
+    )
 
 
 # ---------------------------------------------------------- OPC container
@@ -225,34 +350,75 @@ def _presentation_rels(n_slides: int) -> str:
     )
 
 
+_CHART_CT = (
+    '<Override PartName="/ppt/charts/chart{n}.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.drawingml.chart+xml"/>'
+)
+_SLIDE_CHART_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type='
+    '"http://schemas.openxmlformats.org/officeDocument/2006/relationships/chart"'
+    ' Target="../charts/chart{n}.xml"/>'
+    "</Relationships>"
+)
+
+
+def _pack_pptx(slides, charts=None) -> bytes | None:
+    """Assemble one deterministic .pptx from slide XMLs plus optional
+    per-slide chart-part XMLs (``charts[i]`` is slide i's chart or
+    None). Chart slides get a per-slide rels file binding ``rId1`` to
+    ``../charts/chartN.xml`` and the chart content-type override —
+    the container consistency tests walk all three."""
+    from pdf_to_text_spark.functions.udfs import opc_zip
+
+    if slides is None:
+        return None
+    slides = list(slides)
+    charts = list(charts) if charts is not None else [None] * len(slides)
+    n = len(slides)
+    ct = _CT_HEAD + "".join(_SLIDE_CT.format(n=i + 1) for i in range(n))
+    members: list[tuple[str, str]] = [
+        ("_rels/.rels", _ROOT_RELS),
+        ("ppt/presentation.xml", _presentation_xml(n)),
+        ("ppt/_rels/presentation.xml.rels", _presentation_rels(n)),
+        ("ppt/slideMasters/slideMaster1.xml", _MASTER_XML),
+        ("ppt/slideMasters/_rels/slideMaster1.xml.rels", _MASTER_RELS),
+        ("ppt/slideLayouts/slideLayout1.xml", _LAYOUT_XML),
+        ("ppt/slideLayouts/_rels/slideLayout1.xml.rels", _LAYOUT_RELS),
+        ("ppt/theme/theme1.xml", _THEME_XML),
+    ]
+    chart_no = 0
+    for i, s in enumerate(slides):
+        members.append((f"ppt/slides/slide{i + 1}.xml", s))
+        if i < len(charts) and charts[i] is not None:
+            chart_no += 1
+            members.append((f"ppt/charts/chart{chart_no}.xml", charts[i]))
+            members.append(
+                (f"ppt/slides/_rels/slide{i + 1}.xml.rels",
+                 _SLIDE_CHART_RELS.format(n=chart_no))
+            )
+            ct += _CHART_CT.format(n=chart_no)
+    members.insert(0, ("[Content_Types].xml", ct + "</Types>"))
+    return opc_zip(members)
+
+
 @F.pandas_udf(T.BinaryType())
 def pptx_package(slide_xmls: pd.Series) -> pd.Series:
     """``array<string>`` of slide XMLs → one deterministic .pptx
     (shared ``functions.udfs.opc_zip`` container contract)."""
-    from pdf_to_text_spark.functions.udfs import opc_zip
+    return slide_xmls.map(_pack_pptx)
 
-    def pack(slides) -> bytes | None:
-        if slides is None:
-            return None
-        slides = list(slides)
-        n = len(slides)
-        ct = (
-            _CT_HEAD
-            + "".join(_SLIDE_CT.format(n=i + 1) for i in range(n))
-            + "</Types>"
-        )
-        members: list[tuple[str, str]] = [
-            ("[Content_Types].xml", ct),
-            ("_rels/.rels", _ROOT_RELS),
-            ("ppt/presentation.xml", _presentation_xml(n)),
-            ("ppt/_rels/presentation.xml.rels", _presentation_rels(n)),
-            ("ppt/slideMasters/slideMaster1.xml", _MASTER_XML),
-            ("ppt/slideMasters/_rels/slideMaster1.xml.rels", _MASTER_RELS),
-            ("ppt/slideLayouts/slideLayout1.xml", _LAYOUT_XML),
-            ("ppt/slideLayouts/_rels/slideLayout1.xml.rels", _LAYOUT_RELS),
-            ("ppt/theme/theme1.xml", _THEME_XML),
-        ]
-        members += [(f"ppt/slides/slide{i + 1}.xml", s) for i, s in enumerate(slides)]
-        return opc_zip(members)
 
-    return slide_xmls.map(pack)
+@F.pandas_udf(T.BinaryType())
+def pptx_package_with_charts(slide_xmls: pd.Series, chart_xmls: pd.Series) -> pd.Series:
+    """Chart-bearing variant: second arg is a same-length array where
+    element i is slide i's ``c:chartSpace`` part XML (null = text-only
+    slide, same as ``pptx_package``). The reference counterpart is
+    ``create_pptx_with_style``'s chart branch
+    (pptx_designer.py:177-290 + _add_chart_slide:131-172)."""
+    return pd.Series(
+        [_pack_pptx(s, c) for s, c in zip(slide_xmls, chart_xmls)],
+        index=slide_xmls.index,
+        dtype=object,
+    )

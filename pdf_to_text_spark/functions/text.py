@@ -126,8 +126,25 @@ def is_bullet(c: Column) -> Column:
 
 
 def extract_image_tag(c: Column) -> Column:
-    """F10: pull X from '[Image of X]' (core_document_processing.py:348-357)."""
-    return F.regexp_extract(c, r"\[Image of (.+?)\]", 1)
+    """F10: pull X from '[Image of X]' — case-INSENSITIVE search
+    anywhere in the line, topic stripped, exactly the reference's
+    ``re.search(r'\\[Image of (.+?)\\]', line, re.IGNORECASE)`` +
+    ``.strip()`` (core_document_processing.py:350-353). '' when no tag."""
+    return strip_outer(F.regexp_extract(c, r"(?i)\[image of (.+?)\]", 1))
+
+
+def render_image_placeholder(pt: Column) -> Column:
+    """F10 sink rule: a content line carrying an [Image of X] tag is
+    REPLACED by the image-prompt placeholder ``🖼️ [PROMPT: X]`` the
+    reference writes into the deck in place of the line
+    (core_document_processing.py:348-357); tag-free lines pass through.
+    Consumed by the PPTX slide builder and the DOCX document builder —
+    apply BEFORE XML escaping (the reference sets paragraph text and
+    lets python-pptx escape at save)."""
+    tag = extract_image_tag(pt)
+    return F.when(
+        tag != F.lit(""), F.concat(F.lit("🖼️ [PROMPT: "), tag, F.lit("]"))
+    ).otherwise(pt)
 
 
 def code_fence_strip(c: Column) -> Column:

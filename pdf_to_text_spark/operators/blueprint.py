@@ -132,7 +132,11 @@ def blueprint_to_docx_xml(bp: Column) -> Column:
     → Heading1, later titles → Heading2, each content point a
     ``List Bullet`` paragraph, page break between slides (not after the
     last). ``functions.udfs.docx_package`` wraps this into the .docx
-    zip container."""
+    zip container. F10: content lines carrying an [Image of X] tag are
+    replaced by the 🖼️ [PROMPT: X] placeholder paragraph
+    (core_document_processing.py:348-357)."""
+    from pdf_to_text_spark.functions.text import render_image_placeholder
+
     slides = F.transform(
         bp,
         lambda s, i: F.concat(
@@ -140,7 +144,11 @@ def blueprint_to_docx_xml(bp: Column) -> Column:
                 F.when(i == 0, F.lit("Heading1")).otherwise(F.lit("Heading2")), s["title"]
             ),
             F.array_join(
-                F.transform(s["content"], lambda p: _docx_para(F.lit("ListBullet"), p)), ""
+                F.transform(
+                    s["content"],
+                    lambda p: _docx_para(F.lit("ListBullet"), render_image_placeholder(p)),
+                ),
+                "",
             ),
             F.when(i < F.size(bp) - 1, F.lit(DOCX_PAGE_BREAK)).otherwise(F.lit("")),
         ),

@@ -50,12 +50,21 @@ def build_training_corpus(
     bands: int = 4,
     near_dup_min_bands: int | None = None,
     max_bucket: int | None = 200,
+    near_dup_semantics: str = "pairwise",
 ) -> dict:
     """pages table → deduplicated quality corpus at ``out_dir``.
+
+    ``near_dup_semantics``: ``"pairwise"`` (default — one shuffle,
+    deterministic, errs toward dropping more; see ``near_dup_drop``) or
+    ``"components"`` (transitive clustering, one survivor per connected
+    component — the standard crawl-dedup semantics, iterative; see
+    ``plans.components``).
 
     Returns stage-by-stage row counts (the funnel — itself a lineage
     artifact worth persisting alongside the corpus).
     """
+    if near_dup_semantics not in ("pairwise", "components"):
+        raise ValueError(f"unknown near_dup_semantics {near_dup_semantics!r}")
     near_dup_min_bands = near_dup_min_bands or (bands // 2 + 1)
     pages = spark.read.parquet(pages_path)
 
@@ -99,7 +108,12 @@ def build_training_corpus(
         exact_unique, text_col="extracted_text", id_col="url",
         num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
     ).filter(F.col("n_bands") >= near_dup_min_bands)
-    final = near_dup_drop(exact_unique, pairs, "url")
+    if near_dup_semantics == "components":
+        from pdf_to_text_spark.plans.components import near_dup_drop_components
+
+        final = near_dup_drop_components(exact_unique, pairs, "url")
+    else:
+        final = near_dup_drop(exact_unique, pairs, "url")
     final.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     n_final = spark.read.parquet(f"{out_dir}/corpus").count()
 

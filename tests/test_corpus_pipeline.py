@@ -81,3 +81,62 @@ def test_exact_dedup_single_shuffle(spark, corpus_dir, tmp_path):
     plan = uniq._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert uniq.count() == 7
+
+
+def test_connected_components_chain_and_v(spark):
+    """plans/components: min-label propagation matches transitive
+    closure. Chain 1~2~3: component 1 for all. V-graph (1,3),(2,3):
+    one component {1,2,3} — this is where the two semantics DIFFER
+    (see test_near_dup_semantics_differ_on_v_graph)."""
+    from pdf_to_text_spark.plans.components import connected_components
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(chain).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # long chain (diameter 7) still converges, labels all reach the min
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7, 0, -1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(long_chain).collect()}
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_near_dup_semantics_differ_on_v_graph(spark):
+    """The pinned divergence: pairs (1,3),(2,3) — docs 1 and 2 each
+    near doc 3 but never scored against each other. Pairwise keeps
+    BOTH tips {1,2} (drop set = {id_b} = {3}); components merges the
+    cluster and keeps only its minimum {1}. Both exposed via
+    build_training_corpus(near_dup_semantics=...)."""
+    from pdf_to_text_spark.plans.components import near_dup_drop_components
+    from pdf_to_text_spark.plans.corpus_pipeline import near_dup_drop
+
+    docs = spark.createDataFrame(
+        [("u1", "t1"), ("u2", "t2"), ("u3", "t3"), ("u9", "t9")],
+        "url string, extracted_text string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u3", 4), ("u2", "u3", 4)], "id_a string, id_b string, n_bands int"
+    )
+    pairwise = sorted(r["url"] for r in near_dup_drop(docs, pairs).collect())
+    transitive = sorted(r["url"] for r in near_dup_drop_components(docs, pairs).collect())
+    assert pairwise == ["u1", "u2", "u9"]
+    assert transitive == ["u1", "u9"]
+
+
+def test_corpus_components_semantics_end_to_end(spark, corpus_dir, tmp_path):
+    """build_training_corpus runs with components semantics and never
+    keeps MORE than pairwise on the same input (components merges
+    clusters pairwise may split)."""
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    staged = str(tmp_path / "staged_cc")
+    pages.write.parquet(staged)
+    pw = build_training_corpus(
+        spark, staged, str(tmp_path / "o_pw"), min_quality=0.0
+    )
+    cc = build_training_corpus(
+        spark, staged, str(tmp_path / "o_cc"), min_quality=0.0,
+        near_dup_semantics="components",
+    )
+    assert cc["exact_unique"] == pw["exact_unique"]
+    assert cc["final"] <= pw["final"]

@@ -127,3 +127,28 @@ def test_is_topic_reference_semantics(spark):
     for i, s in enumerate(cases):
         exp_n = len(s.split())
         assert got[i] == (exp_n, exp_n < 10), (i, s, got[i])
+
+
+def test_image_tag_extract_and_render(spark):
+    """F10 reference semantics (core_document_processing.py:348-357):
+    case-insensitive re.search anywhere in the line, topic .strip()ped,
+    tagged lines replaced wholesale by '🖼️ [PROMPT: X]', others
+    untouched."""
+    cases = [
+        ("[Image of a red fox]", "a red fox", "🖼️ [PROMPT: a red fox]"),
+        ("see [IMAGE OF spark shuffle] diagram", "spark shuffle", "🖼️ [PROMPT: spark shuffle]"),
+        ("[image of  padded topic  ]", "padded topic", "🖼️ [PROMPT: padded topic]"),
+        ("plain bullet line", "", "plain bullet line"),
+        ("[Image of]", "", "[Image of]"),  # no topic group -> no match
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _, _) in enumerate(cases)], "i long, s string")
+    got = {
+        r["i"]: (r["tag"], r["rendered"])
+        for r in df.select(
+            "i",
+            X.extract_image_tag(F.col("s")).alias("tag"),
+            X.render_image_placeholder(F.col("s")).alias("rendered"),
+        ).collect()
+    }
+    for i, (s, tag, rendered) in enumerate(cases):
+        assert got[i] == (tag, rendered), (i, s, got[i])

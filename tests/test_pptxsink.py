@@ -73,3 +73,65 @@ def test_pptx_package_consistent_and_deterministic(spark):
     for rid in re.findall(r'r:id="(rId\d+)"', pres):
         assert rid in rel_ids
     assert sum(1 for n in names if n.startswith("ppt/slides/")) == 3
+
+
+CHART_STR = "Sales & <Deck>, 2024 Revenue, Q1: $10.5, Q2: 20, bad part, Q3:oops"
+
+
+def test_pptx_package_with_charts(spark):
+    """Chart-bearing package (the reference's themed chart slides,
+    pptx_designer.py:131-172/236-290): the parsed chart string becomes a
+    real c:chartSpace part wired through per-slide rels + content-type
+    override, with a graphicFrame on the hosting slide."""
+    from pdf_to_text_spark.functions.pptxsink import (
+        chart_slide_xml,
+        chart_to_chart_xml,
+        pptx_package_with_charts,
+    )
+    from pdf_to_text_spark.functions.text import parse_chart_string
+
+    df = spark.createDataFrame([(SAMPLE, CHART_STR)], "t string, cs string")
+    ch = parse_chart_string(F.col("cs"))
+    text_slides = blueprint_to_slide_xml(text_to_blueprint(F.col("t")))
+    slides = F.concat(text_slides, F.array(chart_slide_xml(ch["title"])))
+    charts = F.concat(
+        F.transform(text_slides, lambda s: F.lit(None).cast("string")),
+        F.array(chart_to_chart_xml(ch)),
+    )
+    out = df.select(pptx_package_with_charts(slides, charts).alias("p")).collect()[0]["p"]
+
+    z = zipfile.ZipFile(io.BytesIO(out))
+    assert z.testzip() is None
+    names = set(z.namelist())
+    for n in names:
+        ET.fromstring(z.read(n))
+
+    # 3 text slides + 1 chart slide; exactly one chart part
+    assert sum(1 for n in names if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)) == 4
+    assert "ppt/charts/chart1.xml" in names
+    # chart slide rels bind rId1 to the chart part; content type declared
+    rels = z.read("ppt/slides/_rels/slide4.xml.rels").decode()
+    assert 'Target="../charts/chart1.xml"' in rels and 'Id="rId1"' in rels
+    ct = z.read("[Content_Types].xml").decode()
+    assert 'PartName="/ppt/charts/chart1.xml"' in ct
+    assert "drawingml.chart+xml" in ct
+    # hosting slide carries the graphicFrame referencing rId1
+    slide4 = z.read("ppt/slides/slide4.xml").decode()
+    assert "graphicFrame" in slide4 and 'r:id="rId1"' in slide4
+    # text-only slides got no rels/charts
+    assert "ppt/slides/_rels/slide1.xml.rels" not in names
+
+    # chart DATA faithfulness: escaped title, series, cats in order,
+    # values cleaned with the reference's 0.0-on-unparseable rule
+    chart = z.read("ppt/charts/chart1.xml").decode()
+    assert "<a:t>Sales &amp; &lt;Deck&gt;</a:t>" in chart
+    assert "<c:v>2024 Revenue</c:v>" in chart
+    cats = re.findall(r'<c:cat>.*?</c:cat>', chart, re.S)[0]
+    assert re.findall(r"<c:v>([^<]*)</c:v>", cats) == ["Q1", "Q2", "Q3"]
+    vals = re.findall(r'<c:val>.*?</c:val>', chart, re.S)[0]
+    assert re.findall(r"<c:v>([^<]*)</c:v>", vals) == ["10.5", "20.0", "0.0"]
+    assert '<c:ptCount val="3"/>' in cats
+
+    # determinism
+    out2 = df.select(pptx_package_with_charts(slides, charts).alias("p")).collect()[0]["p"]
+    assert out == out2
