@@ -10,9 +10,10 @@ multimodal tier's decode step from "deterministic fake" to REAL for:
   Average/Paeth) inverted per the PNG spec.
 - **WAV** (RIFF PCM16): header walk + struct-unpacked samples.
 
-JPEG/MP4 stay honestly faked in operators/multimodal.py (entropy
-decoders genuinely need native libs). The encoder exists so fixtures
-are self-generated — no external data.
+JPEG has its own real baseline codec in ``core.jpegcodec`` (pure
+Python + numpy Huffman/DCT). Only MP4 stays honestly faked in
+operators/multimodal.py (an ISOBMFF+H.264 stack is out of scope). The
+encoders exist so fixtures are self-generated — no external data.
 """
 
 from __future__ import annotations

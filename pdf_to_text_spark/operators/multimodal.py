@@ -6,9 +6,12 @@ Decode status by format (honest inventory):
   all five scanline filters), feeding real luma-thumbnail signatures
   into the cosine near-dup tier (``image_signatures``).
 - **WAV** (PCM16): REAL decode — channels/rate/duration/RMS.
-- **JPEG/MP4**: deterministic fake (entropy coders genuinely need
-  native libs absent from this container); rows are labeled
-  ``decoder='fake'`` so downstream can't mistake them for real.
+- **JPEG**: REAL baseline decode (``core.jpegcodec`` — Huffman entropy
+  decode, dequant + IDCT, any sampling factors, restart markers);
+  progressive/arithmetic raise and land in ``decode_error``.
+- **MP4**: deterministic fake (an ISOBMFF+H.264 stack is out of scope);
+  rows are labeled ``decoder='fake'`` so downstream can't mistake
+  them for real.
 - video frame sampling: explicit ``NotImplementedError`` stub.
 
 The Spark-side plumbing — schema, ``mapInPandas`` batch shape,
@@ -103,8 +106,9 @@ def decode_media_features(
     df: DataFrame, bin_col: str = "media", id_col: str = "media_id"
 ) -> DataFrame:
     """Real decode + feature extraction where the format allows
-    (PNG pixels, WAV samples), labeled fake elsewhere — one mapInPandas
-    pass, row-level error tolerance throughout."""
+    (PNG + baseline-JPEG pixels, WAV samples), labeled fake elsewhere —
+    one mapInPandas pass, row-level error tolerance throughout."""
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg
     from pdf_to_text_spark.core.mediacodec import decode_png, decode_wav
 
     cols = [c.split(" ")[0] for c in MEDIA_FEATURES_SCHEMA.split(", ")]
@@ -127,7 +131,10 @@ def decode_media_features(
                             decoder="real", channels=ch, sample_rate=rate,
                             duration_s=dur, rms=rms,
                         )
-                    elif kind in ("jpeg", "mp4"):
+                    elif kind == "jpeg":
+                        w, h, ch, _px = decode_jpeg(data)
+                        r.update(decoder="real", width=w, height=h, channels=ch)
+                    elif kind == "mp4":
                         w, h = _fake_decode(data)
                         r.update(decoder="fake", width=w, height=h)
                 except Exception as e:  # noqa: BLE001 — row tolerance (MediaError et al.)
@@ -141,11 +148,13 @@ def decode_media_features(
 def image_signatures(
     df: DataFrame, bin_col: str = "media", id_col: str = "media_id", dim: int = 4
 ) -> DataFrame:
-    """PNG binary → REAL luma-thumbnail signature (``array<double>``,
-    length dim²) — the image analog of a text embedding; feed it to the
-    similarity tier (``pairwise_topk_per_label``/``brute_force_topk``)
-    for embedding-cosine near-dup over IMAGES. Non-PNG/undecodable rows
-    are dropped (they carry no real signal)."""
+    """PNG/JPEG binary → REAL luma-thumbnail signature
+    (``array<double>``, length dim²) — the image analog of a text
+    embedding; feed it to the similarity tier
+    (``pairwise_topk_per_label``/``brute_force_topk``) for
+    embedding-cosine near-dup over IMAGES. Undecodable/unknown-format
+    rows are dropped (they carry no real signal)."""
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg
     from pdf_to_text_spark.core.mediacodec import decode_png, gray_thumbnail
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,8 +163,12 @@ def image_signatures(
             for mid, data in zip(pdf[id_col], pdf[bin_col]):
                 if data is None:
                     continue
+                raw = bytes(data)
                 try:
-                    w, h, ch, px = decode_png(bytes(data))
+                    if _sniff_kind(raw) == "jpeg":
+                        w, h, ch, px = decode_jpeg(raw)
+                    else:
+                        w, h, ch, px = decode_png(raw)
                 except Exception:  # noqa: BLE001 — row tolerance
                     continue
                 ids.append(mid)

@@ -52,18 +52,25 @@ def test_wav_roundtrip_rms():
 
 
 def test_decode_media_features_real_vs_fake(spark):
+    from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+
     rows = [
         (1, encode_png(20, 10, 3, _img(20, 10, 3))),
         (2, encode_wav(16000, [0, 100, -100, 50] * 100)),
-        (3, b"\xff\xd8\xff\xe0 fake jpeg body"),
+        (3, encode_jpeg(12, 7, 1, _img(12, 7, 1))),
         (4, b"\x89PNG\r\n\x1a\ntruncated"),
+        (5, b"\xff\xd8\xff\xe0 truncated jpeg body"),
+        (6, b"\x00\x00\x00\x18ftypisom fake mp4 body"),
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     got = {r["media_id"]: r.asDict() for r in decode_media_features(df).collect()}
     assert got[1]["decoder"] == "real" and (got[1]["width"], got[1]["height"]) == (20, 10)
     assert got[2]["decoder"] == "real" and got[2]["sample_rate"] == 16000 and got[2]["rms"] > 0
-    assert got[3]["decoder"] == "fake"  # honestly labeled
+    # jpeg is now REAL baseline decode, not a fake
+    assert got[3]["decoder"] == "real" and (got[3]["width"], got[3]["height"]) == (12, 7)
     assert got[4]["kind"] == "error" and got[4]["decode_error"]
+    assert got[5]["kind"] == "error" and got[5]["decode_error"]  # bad jpeg → row error
+    assert got[6]["decoder"] == "fake"  # mp4 stays honestly labeled
 
 
 def test_image_signatures_find_near_dup(spark):
@@ -92,3 +99,78 @@ def test_image_signatures_find_near_dup(spark):
 
     assert cos(sigs[1], sigs[2]) > 0.999
     assert cos(sigs[1], sigs[2]) > cos(sigs[1], sigs[3])
+
+
+def test_jpeg_roundtrip_gray_lossless_at_q100():
+    """Baseline JPEG codec (core/jpegcodec): with the quality-100 quant
+    table (all ones after scaling) a grayscale image round-trips
+    EXACTLY — DCT float error stays under the rounding step."""
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    w, h = 20, 13
+    px = bytes(((x * 7 + y * 11) % 256) for y in range(h) for x in range(w))
+    w2, h2, ch, out = decode_jpeg(encode_jpeg(w, h, 1, px, quality=100))
+    assert (w2, h2, ch) == (w, h, 1)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(out, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() == 0
+
+
+def test_jpeg_roundtrip_rgb_and_quality_monotone():
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    w, h = 17, 9
+    px = bytes(
+        ((x * 13 + y * 29 + c * 41) % 256) for y in range(h) for x in range(w) for c in range(3)
+    )
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    errs = {}
+    for q in (100, 50):
+        w2, h2, ch, out = decode_jpeg(encode_jpeg(w, h, 3, px, quality=q))
+        assert (w2, h2, ch) == (w, h, 3)
+        errs[q] = np.abs(a - np.frombuffer(out, dtype=np.uint8).astype(int)).mean()
+    # q100 is near-lossless (YCbCr rounding only); q50 visibly lossy
+    assert errs[100] <= 1.0
+    assert errs[50] > errs[100]
+
+
+def test_jpeg_rejects_malformed_and_progressive():
+    import pytest
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf_to_text_spark.core.mediacodec import MediaError
+
+    good = encode_jpeg(8, 8, 1, bytes(range(64)), quality=90)
+    for bad in (b"nope", good[:30], good[:2]):
+        with pytest.raises(MediaError):
+            decode_jpeg(bad)
+    # flip SOF0 marker to SOF2 (progressive) → explicit unsupported error
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(MediaError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_image_signatures_accept_jpeg(spark):
+    """The image near-dup tier decodes JPEG rows for real: a PNG and a
+    q100 JPEG of the SAME image produce near-identical signatures."""
+    from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+
+    w, h = 16, 16
+    base = _img(w, h, 3, seed=5)
+    df = spark.createDataFrame(
+        [(1, encode_png(w, h, 3, base)), (2, encode_jpeg(w, h, 3, base, quality=100))],
+        "media_id long, media binary",
+    )
+    sigs = {r["media_id"]: r["signature"] for r in image_signatures(df).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert cos(sigs[1], sigs[2]) > 0.9999

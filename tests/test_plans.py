@@ -102,3 +102,34 @@ def test_sink_queries_are_shuffle_free(spark):
     ):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_new_sink_queries_are_shuffle_free(spark):
+    """Round-3 sinks: chart-part build (q50) and the image-placeholder
+    DOCX build (q51) are per-row projections — zero Exchanges."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in ("q50_chart_xml", "q51_image_placeholder"):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_connected_components_round_plan_is_bounded(spark):
+    """The CC iteration must localCheckpoint each round: the round-N
+    label plan references round N−1 three times, so an un-truncated
+    lineage doubles per round (exponential optimizer cost; a
+    diameter-7 chain OOMed the driver on plan stringification before
+    the fix). Guard: the final plan of a diameter-6 graph stays small
+    and contains no nested per-round join pyramid."""
+    from pdf_to_text_spark.plans.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    plan = _plan(out)
+    # a checkpointed final table compiles to a scan of existing RDD
+    # blocks, not a join tree over all rounds
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0, plan
