@@ -583,6 +583,33 @@ def _q50_chart_xml(spark, sf):
     )
 
 
+def _q53_chart_routed_deck(spark, sf):
+    """K5 chart ROUTING (reference create_pptx_with_style loop,
+    pptx_designer.py:218-231): a deck whose second section carries a
+    '[CHART: ...]' content line; the router must make slide 0 a text
+    slide (null chart) and slide 1 a chart slide with a real
+    c:chartSpace part. The oracle hand-computes the expected routing
+    AND the full chart part from doc_id — an independent derivation,
+    not a replay."""
+    from pdf_to_text_spark.functions.pptxsink import blueprint_to_pptx_parts
+    from pdf_to_text_spark.operators.blueprint import text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    cs = F.concat(
+        F.lit("Report "), F.col("doc_id").cast("string"),
+        F.lit(", series_"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(", Q1: $"), (F.col("doc_id") % 97).cast("string"), F.lit(".5, Q2: 7"),
+    )
+    md = F.concat(
+        F.lit("# doc "), F.col("doc_id").cast("string"),
+        F.lit("\n- alpha point\n# Chart slide\n- [CHART: "), cs, F.lit("]\n- dropped context"),
+    )
+    parts = blueprint_to_pptx_parts(text_to_blueprint(md))
+    return d.select(
+        "doc_id", F.posexplode(parts["charts"]).alias("slide_no", "chart_xml")
+    ).withColumn("is_chart", F.col("chart_xml").isNotNull())
+
+
 def _q46_embed_centrality(spark, sf):
     """M9 end-to-end: raw text → feature-hash embedder (Arrow pandas
     UDF, md5-portable) → per-source cosine centrality → top-3. The
@@ -684,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_chart_xml": _q50_chart_xml,
         "q51_image_placeholder": _q51_image_placeholder,
         "q52_near_dup_components": _q52_near_dup_components,
+        "q53_chart_routed_deck": _q53_chart_routed_deck,
     }
 
 
@@ -775,6 +803,50 @@ def _lsh_pair_ctes() -> str:
      b2 as (select bands.* from bands left join hotb
             on bands.band_no = hotb.band_no and bands.bh = hotb.bh
             where hotb.bh is null)"""
+
+
+def _chart_xml_sql(title: str, series: str, n: str, cats: str, vals: str) -> str:
+    """DuckDB twin of ``pptxsink.chart_to_chart_xml``: assemble the
+    clustered-column c:chartSpace part from SQL fragments (each
+    argument is a SQL expression string)."""
+
+    def esc(x: str) -> str:
+        return f"replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+    return f"""'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
+       || '<c:chartSpace xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart"'
+       || ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+       || ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><c:chart>'
+       || '<c:title><c:tx><c:rich><a:bodyPr/><a:lstStyle/><a:p><a:r><a:t>'
+       || {esc(title)}
+       || '</a:t></a:r></a:p></c:rich></c:tx><c:overlay val="0"/></c:title>'
+       || '<c:autoTitleDeleted val="0"/>'
+       || '<c:plotArea><c:layout/>'
+       || '<c:barChart><c:barDir val="col"/><c:grouping val="clustered"/>'
+       || '<c:varyColors val="0"/>'
+       || '<c:ser><c:idx val="0"/><c:order val="0"/>'
+       || '<c:tx><c:strRef><c:f>Sheet1!$B$1</c:f><c:strCache>'
+       || '<c:ptCount val="1"/><c:pt idx="0"><c:v>'
+       || {esc(series)}
+       || '</c:v></c:pt></c:strCache></c:strRef></c:tx>'
+       || '<c:cat><c:strRef><c:f>Sheet1!$A$2:$A$' || ({n} + 1)
+       || '</c:f><c:strCache><c:ptCount val="' || {n} || '"/>'
+       || {cats}
+       || '</c:strCache></c:strRef></c:cat>'
+       || '<c:val><c:numRef><c:f>Sheet1!$B$2:$B$' || ({n} + 1)
+       || '</c:f><c:numCache><c:formatCode>General</c:formatCode>'
+       || '<c:ptCount val="' || {n} || '"/>'
+       || {vals}
+       || '</c:numCache></c:numRef></c:val></c:ser>'
+       || '<c:axId val="111111111"/><c:axId val="222222222"/></c:barChart>'
+       || '<c:catAx><c:axId val="111111111"/><c:scaling><c:orientation val="minMax"/>'
+       || '</c:scaling><c:delete val="0"/><c:axPos val="b"/>'
+       || '<c:crossAx val="222222222"/></c:catAx>'
+       || '<c:valAx><c:axId val="222222222"/><c:scaling><c:orientation val="minMax"/>'
+       || '</c:scaling><c:delete val="0"/><c:axPos val="l"/>'
+       || '<c:crossAx val="111111111"/></c:valAx>'
+       || '</c:plotArea>'
+       || '<c:plotVisOnly val="1"/></c:chart></c:chartSpace>'"""
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -1346,41 +1418,27 @@ agg as (
          string_agg('<c:pt idx="' || pos || '"><c:v>' || val || '</c:v></c:pt>', '' order by pos) as vals
   from pt group by 1, 2, 3)
 select doc_id,
-       '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
-       || '<c:chartSpace xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart"'
-       || ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
-       || ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><c:chart>'
-       || '<c:title><c:tx><c:rich><a:bodyPr/><a:lstStyle/><a:p><a:r><a:t>'
-       || replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
-       || '</a:t></a:r></a:p></c:rich></c:tx><c:overlay val="0"/></c:title>'
-       || '<c:autoTitleDeleted val="0"/>'
-       || '<c:plotArea><c:layout/>'
-       || '<c:barChart><c:barDir val="col"/><c:grouping val="clustered"/>'
-       || '<c:varyColors val="0"/>'
-       || '<c:ser><c:idx val="0"/><c:order val="0"/>'
-       || '<c:tx><c:strRef><c:f>Sheet1!$B$1</c:f><c:strCache>'
-       || '<c:ptCount val="1"/><c:pt idx="0"><c:v>'
-       || replace(replace(replace(series, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
-       || '</c:v></c:pt></c:strCache></c:strRef></c:tx>'
-       || '<c:cat><c:strRef><c:f>Sheet1!$A$2:$A$' || (n + 1)
-       || '</c:f><c:strCache><c:ptCount val="' || n || '"/>'
-       || cats
-       || '</c:strCache></c:strRef></c:cat>'
-       || '<c:val><c:numRef><c:f>Sheet1!$B$2:$B$' || (n + 1)
-       || '</c:f><c:numCache><c:formatCode>General</c:formatCode>'
-       || '<c:ptCount val="' || n || '"/>'
-       || vals
-       || '</c:numCache></c:numRef></c:val></c:ser>'
-       || '<c:axId val="111111111"/><c:axId val="222222222"/></c:barChart>'
-       || '<c:catAx><c:axId val="111111111"/><c:scaling><c:orientation val="minMax"/>'
-       || '</c:scaling><c:delete val="0"/><c:axPos val="b"/>'
-       || '<c:crossAx val="222222222"/></c:catAx>'
-       || '<c:valAx><c:axId val="222222222"/><c:scaling><c:orientation val="minMax"/>'
-       || '</c:scaling><c:delete val="0"/><c:axPos val="l"/>'
-       || '<c:crossAx val="111111111"/></c:valAx>'
-       || '</c:plotArea>'
-       || '<c:plotVisOnly val="1"/></c:chart></c:chartSpace>' as chart_xml
+       {_chart_xml_sql("title", "series", "n", "cats", "vals")} as chart_xml
 from agg
+""",
+        # q53: routing + chart part hand-computed from doc_id (slide 0
+        # is text -> null chart; slide 1 carries the [CHART: ...] line)
+        "q53_chart_routed_deck": f"""
+with c as (
+  select doc_id,
+         'Report ' || doc_id as title,
+         'series_' || (doc_id % 3) as series,
+         '<c:pt idx="0"><c:v>Q1</c:v></c:pt><c:pt idx="1"><c:v>Q2</c:v></c:pt>' as cats,
+         '<c:pt idx="0"><c:v>' || (doc_id % 97) || '.5</c:v></c:pt>'
+         || '<c:pt idx="1"><c:v>7.0</c:v></c:pt>' as vals
+  from documents)
+select doc_id, 0 as slide_no, cast(null as varchar) as chart_xml, false as is_chart
+from documents
+union all
+select doc_id, 1 as slide_no,
+       {_chart_xml_sql("title", "series", "2", "cats", "vals")} as chart_xml,
+       true as is_chart
+from c
 """,
         "q24_filename_ops": """
 with p as (

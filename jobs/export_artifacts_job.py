@@ -12,7 +12,8 @@ the reference's export_all_outputs / Streamlit download buttons
 
 - pdf   : complete single-page PDF bytes (pure Catalyst, K3)
 - docx  : WordprocessingML + OPC zip bytes (K4)
-- pptx  : PresentationML slides + OPC zip bytes (K5 basic)
+- pptx  : PresentationML slides + OPC zip bytes; [CHART: ...] content
+          lines become chart slides with real c:chartSpace parts (K5)
 - md    : markdown content report string (K6)
 - png   : rasterized page image bytes (M2)
 
@@ -35,7 +36,10 @@ FORMATS = ("pdf", "docx", "pptx", "md", "png")
 
 def build_artifacts(df, text_col: str, id_col: str, formats: list[str]):
     from pdf_to_text_spark.functions.pdfsink import text_to_pdf
-    from pdf_to_text_spark.functions.pptxsink import blueprint_to_slide_xml, pptx_package
+    from pdf_to_text_spark.functions.pptxsink import (
+        blueprint_to_pptx_parts,
+        pptx_package_with_charts,
+    )
     from pdf_to_text_spark.functions.udfs import docx_package
     from pdf_to_text_spark.operators.blueprint import (
         blueprint_to_docx_xml,
@@ -53,7 +57,13 @@ def build_artifacts(df, text_col: str, id_col: str, formats: list[str]):
         if "docx" in formats:
             cols.append(docx_package(blueprint_to_docx_xml(bp)).alias("docx"))
         if "pptx" in formats:
-            cols.append(pptx_package(blueprint_to_slide_xml(bp)).alias("pptx"))
+            # chart-routed deck: [CHART: ...] content lines become real
+            # chart slides with c:chartSpace parts (reference
+            # create_pptx_with_style), text slides render as before
+            parts = blueprint_to_pptx_parts(bp)
+            cols.append(
+                pptx_package_with_charts(parts["slides"], parts["charts"]).alias("pptx")
+            )
         if "md" in formats:
             cols.append(blueprint_to_markdown(bp).alias("md"))
     if "png" in formats:

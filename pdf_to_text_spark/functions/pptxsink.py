@@ -216,6 +216,53 @@ def chart_slide_xml(title: Column) -> Column:
     )
 
 
+def _chart_point(content: Column) -> Column:
+    """First content line that is a chart placeholder — the reference's
+    detection (``pptx_designer.py:221-223``):
+    ``p.strip().upper().startswith('[CHART:')``; the chart string is
+    the stripped line minus the 7-char prefix and the trailing ``]``
+    (``chart_placeholder[7:-1]``). Null when the slide has none."""
+    from pdf_to_text_spark.functions.text import strip_outer
+
+    hits = F.filter(
+        content, lambda p: F.upper(strip_outer(p)).startswith(F.lit("[CHART:"))
+    )
+    first = strip_outer(F.get(hits, 0))
+    return F.substring(first, F.lit(8), F.length(first) - F.lit(8))
+
+
+def blueprint_to_pptx_parts(bp: Column) -> Column:
+    """Blueprint → ``struct(slides: array<string>, charts:
+    array<string>)``, the chart-routed deck build of the reference's
+    ``create_pptx_with_style`` loop (pptx_designer.py:218-231): a slide
+    whose content carries a ``[CHART: ...]`` placeholder becomes a
+    chart slide (title + graphicFrame; remaining content dropped, the
+    reference's ``continue``) with a real chart part parsed from the
+    placeholder; other slides render normally and get a null chart.
+    Deviation (disclosed): an UNPARSEABLE chart string (< 3 parts —
+    where the reference emits a title-only slide and prints a failure)
+    falls back to a normal text slide here, so the emitted package
+    never references a chart part that failed to materialize. Feed the
+    two arrays to ``pptx_package_with_charts``."""
+    from pdf_to_text_spark.functions.text import parse_chart_string
+
+    def per_slide(s: Column, i: Column) -> Column:
+        cp = _chart_point(s["content"])
+        chx = F.when(cp.isNotNull(), chart_to_chart_xml(parse_chart_string(cp)))
+        return F.struct(
+            F.when(chx.isNotNull(), chart_slide_xml(s["title"]))
+            .otherwise(slide_to_xml(s, i))
+            .alias("slide"),
+            chx.alias("chart"),
+        )
+
+    both = F.transform(bp, per_slide)
+    return F.struct(
+        F.transform(both, lambda b: b["slide"]).alias("slides"),
+        F.transform(both, lambda b: b["chart"]).alias("charts"),
+    )
+
+
 # ---------------------------------------------------------- OPC container
 
 _CT_HEAD = (

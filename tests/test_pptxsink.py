@@ -135,3 +135,59 @@ def test_pptx_package_with_charts(spark):
     # determinism
     out2 = df.select(pptx_package_with_charts(slides, charts).alias("p")).collect()[0]["p"]
     assert out == out2
+
+
+CHART_DECK = (
+    "# Q3 Review\n"
+    "- opening remarks\n"
+    "# Revenue\n"
+    "- context line is dropped on chart slides\n"
+    "-   [chart: Quarterly Revenue, 2024, Q1: $10.5, Q2: 20]  \n"
+    "# Broken chart\n"
+    "- [CHART: only-two, parts]\n"
+    "- still a text bullet\n"
+)
+
+
+def test_blueprint_to_pptx_parts_chart_routing(spark):
+    """Reference create_pptx_with_style routing (pptx_designer.py:
+    218-231): a content line starting (stripped, case-insensitive)
+    with [CHART: makes the slide a chart slide — remaining content
+    dropped — while an unparseable chart string (<3 parts) falls back
+    to a text slide (disclosed deviation) so the package stays
+    consistent."""
+    from pdf_to_text_spark.functions.pptxsink import (
+        blueprint_to_pptx_parts,
+        pptx_package_with_charts,
+    )
+
+    df = spark.createDataFrame([(CHART_DECK,)], "t string")
+    parts = blueprint_to_pptx_parts(text_to_blueprint(F.col("t")))
+    row = df.select(
+        parts["slides"].alias("s"),
+        parts["charts"].alias("c"),
+        pptx_package_with_charts(parts["slides"], parts["charts"]).alias("p"),
+    ).collect()[0]
+    slides, charts = row["s"], row["c"]
+    assert len(slides) == 3 and len(charts) == 3
+    # slide 1: text; slide 2: chart (case-insensitive detect, content dropped)
+    assert charts[0] is None and charts[2] is None
+    assert charts[1] is not None and "<c:chartSpace" in charts[1]
+    assert "graphicFrame" in slides[1]
+    assert "context line" not in slides[1]  # reference's `continue`
+    assert "<c:v>Quarterly Revenue</c:v>" not in charts[1]  # title, not cache
+    assert "<a:t>Quarterly Revenue</a:t>" in charts[1]
+    assert "<c:v>2024</c:v>" in charts[1]          # series
+    assert "<c:v>10.5</c:v>" in charts[1] and "<c:v>20.0</c:v>" in charts[1]
+    # slide 3: unparseable chart string -> text slide, bullet survives
+    assert "graphicFrame" not in slides[2]
+    assert "still a text bullet" in slides[2]
+
+    # package: chart part for slide 2 only, rels/ct consistent
+    z = zipfile.ZipFile(io.BytesIO(row["p"]))
+    names = set(z.namelist())
+    assert "ppt/charts/chart1.xml" in names
+    assert "ppt/slides/_rels/slide2.xml.rels" in names
+    assert "ppt/slides/_rels/slide1.xml.rels" not in names
+    for n in names:
+        ET.fromstring(z.read(n))
