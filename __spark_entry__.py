@@ -1130,14 +1130,18 @@ order by score desc, vec_id asc limit 10
 """,
         "q49_lsh_near_dup": f"""
 with e as (
-  select vec_id, embedding::DOUBLE[] as v, ({plane_bucket}) as bucket
+  select vec_id, ({plane_bucket}) as bucket,
+         -- normalize once per row, then one dot per pair — mirrors the
+         -- engine's pre-normalized join (bit-identical: same
+         -- per-element division, same left-to-right dot)
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) as vn
   from embeddings),
 keep as (select bucket from e group by bucket having count(*) <= 500),
 k as (select e.* from e join keep using (bucket)),
 pairs as (
   select a.bucket, a.vec_id as id_a, b.vec_id as id_b,
-         round(list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) as score
+         round(list_dot_product(a.vn, b.vn), 6) as score
   from k a join k b on a.bucket = b.bucket and a.vec_id < b.vec_id)
 select bucket, id_a, id_b, score from pairs where score >= 0.3
 """,
@@ -1174,11 +1178,13 @@ select doc_id,
 from documents
 """,
         "q42_pairwise_topk_per_label": """
-with e as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 120),
+with e0 as (select label, vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 120),
+     e as (select label, vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) as vn
+           from e0),
      pairs as (
        select a.label, a.vec_id as id_a, b.vec_id as id_b,
-              round(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) as score
+              round(list_dot_product(a.vn, b.vn), 6) as score
        from e a join e b on a.label = b.label and a.vec_id < b.vec_id)
 select label, id_a, id_b, score, rn from (
   select *, row_number() over (partition by label order by score desc, id_a asc, id_b asc) as rn

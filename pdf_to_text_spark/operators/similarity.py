@@ -166,6 +166,7 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_docs: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: the blocking key is a
     sign-LSH bucket, not a label — the global self-join becomes an
@@ -193,9 +194,27 @@ def lsh_near_dup_pairs(
                 f"corpus. Need ≥ {need} planes (2^p ≥ n_docs/max_bucket); see "
                 "min_planes()/generate_planes()."
             )
+    # bucket assignment (|planes| dot products/row) is the expensive
+    # projection; it feeds THREE consumers (hot-list groupBy + both
+    # join sides), so compute it once: project, L2-normalize (one dot
+    # per PAIR downstream instead of dot+2 norms — the embed-tier
+    # lesson), and cache. At 100 TB this frame is a materialized
+    # bucketed intermediate table, not a cache.
+    v = F.col(vec_col).cast("array<double>")
     with_b = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col), v.alias("_v"), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
     )
+    # norm bound as its own column first: an expression referenced in a
+    # transform lambda re-evaluates PER ELEMENT
+    with_b = with_b.withColumn(
+        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    ).select(
+        F.col(id_col),
+        "bucket",
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_vn"),
+    )
+    if cache:
+        with_b = with_b.cache()
     if max_bucket is not None:
         hot = (
             with_b.groupBy("bucket")
@@ -204,18 +223,14 @@ def lsh_near_dup_pairs(
             .select("bucket")
         )
         with_b = with_b.join(F.broadcast(hot), "bucket", "left_anti")
-    a = with_b.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
-    )
-    b = with_b.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
+    a = with_b.select("bucket", F.col(id_col).alias("id_a"), F.col("_vn").alias("va"))
+    b = with_b.select("bucket", F.col(id_col).alias("id_b"), F.col("_vn").alias("vb"))
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "bucket", "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -231,25 +246,27 @@ def pairwise_topk_per_label(
     """Embedding-cosine near-dup (task brief): within each label group,
     top-k most similar pairs. The label acts as the blocking key —
     the self-join is per-group, not global (at scale the blocker is an
-    LSH bucket instead). Output: (label, id_a, id_b, score, rn)."""
+    LSH bucket instead). Vectors are L2-normalized ONCE per row before
+    the join, so each pair costs a single dot product (cosine() would
+    re-traverse both arrays twice more per pair for the norms).
+    Output: (label, id_a, id_b, score, rn)."""
     from pyspark.sql import Window as W
 
-    a = df.select(
-        F.col(label_col).alias("label"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    v = F.col(vec_col).cast("array<double>")
+    norm = df.select(F.col(label_col).alias("label"), F.col(id_col).alias("_id"), v.alias("_v"))
+    norm = norm.withColumn(
+        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    ).select(
+        "label", "_id", F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_vn")
     )
-    b = df.select(
-        F.col(label_col).alias("label"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-    )
+    a = norm.select("label", F.col("_id").alias("id_a"), F.col("_vn").alias("va"))
+    b = norm.select("label", F.col("_id").alias("id_b"), F.col("_vn").alias("vb"))
     pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "label",
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        F.round(dot(F.col("va"), F.col("vb")), 6).alias("score"),
     )
     w = W.partitionBy("label").orderBy(F.desc("score"), "id_a", "id_b")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
