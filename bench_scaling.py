@@ -81,6 +81,11 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--load-gate", type=float, default=0.0,
                     help="wait for 1-min load < GATE before each side (0 = off)")
+    ap.add_argument("--high-first", action="store_true",
+                    help="measure the 4N side first: it is the shorter AND the "
+                    "noise-sensitive side (it needs most of the host's cores, so "
+                    "neighbor load depresses it disproportionately) — running it "
+                    "first spends the quiet window where it matters")
     args = ap.parse_args()
 
     # warm the corpus cache once so neither measurement pays generation
@@ -95,7 +100,8 @@ def main() -> None:
     # warmup per sample)
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
     start_loads: dict[int, float] = {}
-    for cores in (args.low, args.high):
+    order = (args.high, args.low) if args.high_first else (args.low, args.high)
+    for cores in order:
         start_loads[cores] = _wait_quiet(args.load_gate) if args.load_gate else _load1()
         results[cores].append(run_once(cores, args.repeats))
 

@@ -81,3 +81,32 @@ def test_pdf_roundtrip_property(lines, style):
     # own contract: non-empty lines in order
     expected = "\n".join(lines)
     assert got == [expected]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_structure_any_size(w, h, channels, seed):
+    """Baseline JPEG codec: any (w, h, channels) round-trips with the
+    right dimensions and quality-100 pixel error stays within the
+    orthonormal-DCT rounding bound (coefficients round to ints even
+    with unit quant tables: coefficient-space L2 error ≤ 0.5·8 = 4, so
+    pixel L∞ ≤ 4; RGB adds YCbCr forward/inverse rounding)."""
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8).tobytes()
+    w2, h2, ch2, out = decode_jpeg(encode_jpeg(w, h, channels, px, quality=100))
+    assert (w2, h2, ch2) == (w, h, channels)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(out, dtype=np.uint8).astype(int)
+    if channels == 1:
+        assert np.abs(a - b).max() <= 4
+    else:
+        assert np.abs(a - b).max() <= 6
