@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # warehouse for bucketed saveAsTable (co-located join tests /
+        # jobs) — keep it off the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", f"/tmp/sg_warehouse_{os.getpid()}"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

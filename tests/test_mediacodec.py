@@ -53,6 +53,7 @@ def test_wav_roundtrip_rms():
 
 def test_decode_media_features_real_vs_fake(spark):
     from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+    from pdf_to_text_spark.core.mp4codec import build_mp4
 
     rows = [
         (1, encode_png(20, 10, 3, _img(20, 10, 3))),
@@ -60,17 +61,23 @@ def test_decode_media_features_real_vs_fake(spark):
         (3, encode_jpeg(12, 7, 1, _img(12, 7, 1))),
         (4, b"\x89PNG\r\n\x1a\ntruncated"),
         (5, b"\xff\xd8\xff\xe0 truncated jpeg body"),
-        (6, b"\x00\x00\x00\x18ftypisom fake mp4 body"),
+        (6, build_mp4([b"nal" * 5] * 6, width=32, height=24, timescale=600, sample_delta=60)),
+        (7, b"\x00\x00\x00\x18ftypisom truncated mp4 body"),
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     got = {r["media_id"]: r.asDict() for r in decode_media_features(df).collect()}
     assert got[1]["decoder"] == "real" and (got[1]["width"], got[1]["height"]) == (20, 10)
     assert got[2]["decoder"] == "real" and got[2]["sample_rate"] == 16000 and got[2]["rms"] > 0
-    # jpeg is now REAL baseline decode, not a fake
+    # jpeg is REAL baseline decode, not a fake
     assert got[3]["decoder"] == "real" and (got[3]["width"], got[3]["height"]) == (12, 7)
     assert got[4]["kind"] == "error" and got[4]["decode_error"]
     assert got[5]["kind"] == "error" and got[5]["decode_error"]  # bad jpeg → row error
-    assert got[6]["decoder"] == "fake"  # mp4 stays honestly labeled
+    # mp4 container demux is real (dimensions + duration from moov);
+    # the 'demux' label discloses that pixels are not decoded
+    assert got[6]["decoder"] == "demux"
+    assert (got[6]["width"], got[6]["height"]) == (32, 24)
+    assert abs(got[6]["duration_s"] - 6 * 60 / 600) < 1e-9
+    assert got[7]["kind"] == "error" and got[7]["decode_error"]  # no moov → row error
 
 
 def test_image_signatures_find_near_dup(spark):

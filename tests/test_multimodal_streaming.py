@@ -8,7 +8,11 @@ import zlib
 import pytest
 from pyspark.sql import functions as F
 
-from pdf_to_text_spark.operators.multimodal import decode_image_meta, frame_sample_stub
+from pdf_to_text_spark.operators.multimodal import (
+    decode_image_meta,
+    decode_video_frame,
+    sample_video_frames,
+)
 
 
 def _png(w: int, h: int) -> bytes:
@@ -40,9 +44,32 @@ def test_decode_image_meta(spark):
     assert again == got
 
 
-def test_frame_sample_is_explicit_stub(spark):
+def test_sample_video_frames_real_demux(spark):
+    """Frame sampling is REAL demux now: every-Nth sample row carries
+    the actual NAL payload bytes + keyframe flag from the MP4 sample
+    tables; undemuxable rows degrade to a demux_error row; only
+    NAL→pixels remains an explicit stub."""
+    from pdf_to_text_spark.core.mp4codec import build_mp4
+
+    samples = [bytes([i]) * (8 + i) for i in range(10)]
+    rows = [
+        (1, build_mp4(samples, keyframe_every=4)),
+        (2, b"\x00\x00\x00\x18ftypisom truncated"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {}
+    for r in sample_video_frames(df, every_n=3).collect():
+        out.setdefault(r["media_id"], []).append(r.asDict())
+    got1 = sorted(out[1], key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in got1] == [1, 4, 7, 10]
+    # the emitted bytes ARE the sample payloads
+    for r in got1:
+        assert r["frame_bytes"] == samples[r["frame_no"] - 1]
+    assert [r["keyframe"] for r in got1] == [True, False, False, False]  # stss: 1,5,9
+    assert out[2][0]["demux_error"] and out[2][0]["frame_no"] == 0
+
     with pytest.raises(NotImplementedError):
-        frame_sample_stub(None)
+        decode_video_frame(got1[0]["frame_bytes"])
 
 
 def test_incremental_streaming_extraction(spark, corpus_dir, golden_extracted, tmp_path):

@@ -133,3 +133,32 @@ def test_connected_components_round_plan_is_bounded(spark):
     # blocks, not a join tree over all rounds
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0, plan
+
+
+def test_bucketed_tables_join_and_agg_without_shuffle(spark):
+    """100 TB discipline: two tables bucketed+sorted on the join key
+    join WITHOUT any Exchange (sort-merge over co-located buckets) and
+    aggregate on the bucket key shuffle-free. This is the engine's
+    co-location answer for repeated big-big joins — bucket once, join
+    many times (cf. extraction's bucketed output)."""
+    a = spark.range(0, 2000).selectExpr("id % 97 as k", "id as va")
+    b = spark.range(0, 2000).selectExpr("id % 97 as k", "id * 2 as vb")
+    for name, df in (("sg_buck_a", a), ("sg_buck_b", b)):
+        df.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # force the big-big path: without this a small side would
+        # broadcast and hide what bucketing buys
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("sg_buck_a").join(spark.table("sg_buck_b"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+
+        agg = spark.table("sg_buck_a").groupBy("k").count()
+        assert "Exchange" not in _plan(agg), _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists sg_buck_a")
+        spark.sql("drop table if exists sg_buck_b")
