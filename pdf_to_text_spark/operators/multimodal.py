@@ -57,21 +57,17 @@ def _png_dims(data: bytes) -> tuple[int, int]:
     return w, h
 
 
-def _fake_decode(data: bytes) -> tuple[int, int]:
-    """Deterministic fake for formats we can't really decode here.
-    NOTE: a real deployment replaces this with PIL/ffmpeg — the
-    surrounding plumbing does not change."""
-    h = 0
-    for b in data[:64]:
-        h = (h * 131 + b) & 0x7FFFFFFF
-    return 64 + h % 1024, 64 + (h >> 10) % 1024
-
-
 def decode_image_meta(df: DataFrame, bin_col: str = "media", id_col: str = "media_id") -> DataFrame:
-    """binary column → typed metadata via mapInPandas (Arrow batches).
+    """binary column → typed metadata via mapInPandas (Arrow batches),
+    header-only parses throughout (REAL, no pixel work): PNG IHDR,
+    JPEG SOF (``core.jpegcodec.jpeg_dims`` — works for progressive
+    too), MP4 tkhd (``core.mp4codec.parse_mp4``). Unknown formats get
+    0×0, not an error — sniffing isn't decoding.
 
     Row-level error tolerance: decode failures land in ``decode_error``,
     the job continues (reference analog: main.py:77-78)."""
+    from pdf_to_text_spark.core.jpegcodec import jpeg_dims
+    from pdf_to_text_spark.core.mp4codec import parse_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -84,8 +80,14 @@ def decode_image_meta(df: DataFrame, bin_col: str = "media", id_col: str = "medi
                     kind = _sniff_kind(data)
                     if kind == "png":
                         w, h = _png_dims(data)
+                    elif kind == "jpeg":
+                        w, h, _ch = jpeg_dims(data)
+                    elif kind == "mp4":
+                        meta = parse_mp4(data)
+                        vid = next((t for t in meta["tracks"] if t["kind"] == "vide"), None)
+                        w, h = (vid["width"], vid["height"]) if vid else (0, 0)
                     else:
-                        w, h = _fake_decode(data)
+                        w, h = 0, 0
                     out["kind"].append(kind)
                     out["width"].append(w)
                     out["height"].append(h)

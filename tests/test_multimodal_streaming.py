@@ -27,19 +27,23 @@ def _png(w: int, h: int) -> bytes:
 
 
 def test_decode_image_meta(spark):
+    from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+
     rows = [
         (1, _png(640, 480)),
-        (2, b"\xff\xd8\xff\xe0 fake jpeg body"),
+        (2, encode_jpeg(30, 20, 1, bytes(600))),
         (3, b"garbage bytes here"),
         (4, None),
+        (5, b"\xff\xd8\xff\xe0 headerless jpeg body"),
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     got = {r["media_id"]: r.asDict() for r in decode_image_meta(df).collect()}
     assert got[1]["kind"] == "png" and (got[1]["width"], got[1]["height"]) == (640, 480)
-    assert got[2]["kind"] == "jpeg" and got[2]["width"] > 0  # deterministic fake
-    assert got[3]["kind"] == "unknown"
+    # jpeg dims come from the real SOF header parse now
+    assert got[2]["kind"] == "jpeg" and (got[2]["width"], got[2]["height"]) == (30, 20)
+    assert got[3]["kind"] == "unknown" and got[3]["width"] == 0
     assert got[4]["n_bytes"] == 0
-    # determinism of the fake decoder
+    assert got[5]["kind"] == "error" and got[5]["decode_error"]  # no SOF → row error
     again = {r["media_id"]: r.asDict() for r in decode_image_meta(df).collect()}
     assert again == got
 
