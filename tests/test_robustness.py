@@ -99,3 +99,42 @@ def test_minhash_bands_must_divide(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs(df, num_hashes=10, bands=4)
+
+
+def test_connected_components_empty_and_self_pairs(spark):
+    """Degenerate inputs: no pairs → empty result (not an error);
+    self-loops collapse to the node's own component."""
+    from pdf_to_text_spark.plans.components import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+    selfy = spark.createDataFrame([(5, 5), (5, 6)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(selfy).collect()}
+    assert got == {5: 5, 6: 5}
+
+
+def test_chart_routing_null_and_empty_content(spark):
+    """Null text and chartless decks route cleanly: null blueprint →
+    null parts struct; a no-chart deck gets all-null charts."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_spark.functions.pptxsink import blueprint_to_pptx_parts
+    from pdf_to_text_spark.operators.blueprint import text_to_blueprint
+
+    df = spark.createDataFrame(
+        [(1, "# only heading"), (2, None)], "i long, t string"
+    )
+    parts = blueprint_to_pptx_parts(text_to_blueprint(F.col("t")))
+    rows = {r["i"]: r for r in df.select("i", parts.alias("p")).collect()}
+    assert rows[1]["p"]["charts"] == [None]
+    assert rows[2]["p"] is None or rows[2]["p"]["slides"] is None
+
+
+def test_sample_video_frames_null_media(spark):
+    """Null binary degrades to a demux_error row, never a task failure."""
+    from pdf_to_text_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame([(1, None)], "media_id long, media binary")
+    rows = sample_video_frames(df).collect()
+    assert len(rows) == 1 and rows[0]["demux_error"]
