@@ -583,6 +583,25 @@ def _q50_chart_xml(spark, sf):
     )
 
 
+def _q54_themed_slides(spark, sf):
+    """K5 themed variant: the same deterministic blueprint as q48
+    rendered with the reference's 'Professional' theme — title/body
+    runs carry font/size/color run properties and every slide gets the
+    theme's bottom-bar design shape (pptx_designer.py:14-50, 59-70,
+    72-102). Hash-checked against a DuckDB replay of the themed
+    template."""
+    from pdf_to_text_spark.functions.pptxsink import blueprint_to_slide_xml
+    from pdf_to_text_spark.operators.blueprint import text_to_blueprint
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            blueprint_to_slide_xml(text_to_blueprint(_md_src()), theme_name="Professional")
+        ).alias("slide_no", "slide_xml"),
+    )
+
+
 def _q53_chart_routed_deck(spark, sf):
     """K5 chart ROUTING (reference create_pptx_with_style loop,
     pptx_designer.py:218-231): a deck whose second section carries a
@@ -712,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_image_placeholder": _q51_image_placeholder,
         "q52_near_dup_components": _q52_near_dup_components,
         "q53_chart_routed_deck": _q53_chart_routed_deck,
+        "q54_themed_slides": _q54_themed_slides,
     }
 
 
@@ -777,6 +797,53 @@ sl as (
          regexp_replace(ls[1], '^#+ ', '') as title,
          list_transform(ls[2:], p -> regexp_replace(p, '^[*•\-] ', '')) as points
   from lines)"""
+
+
+def _themed_slides_sql() -> str:
+    """q54 oracle: the q48 slide template with the Professional theme's
+    run-property / design-shape strings injected (strings produced by
+    the engine's own theme helpers — shared constants; the blueprint
+    replay around them stays independent)."""
+    from pdf_to_text_spark.functions.pptxsink import (
+        THEMES,
+        _design_sp,
+        _run_props,
+    )
+
+    th = THEMES["Professional"]
+    tp = _run_props(th["title_font"], th["title_size"], th["title_color"])
+    bp = _run_props(th["body_font"], th["body_size"], th["body_color"])
+    design = _design_sp(th)
+    return f"""
+with {_BP_CTES}
+select doc_id, slide_no,
+       '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' || chr(10)
+       || '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+       || ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+       || ' xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">'
+       || '<p:cSld><p:spTree>'
+       || '<p:nvGrpSpPr><p:cNvPr id="1" name=""/><p:cNvGrpSpPr/><p:nvPr/></p:nvGrpSpPr>'
+       || '<p:grpSpPr/>'
+       || '<p:sp><p:nvSpPr><p:cNvPr id="2" name="Title"/><p:cNvSpPr/><p:nvPr><p:ph '
+       || case when slide_no = 0 then 'type="ctrTitle"' else 'type="title"' end
+       || '/></p:nvPr></p:nvSpPr><p:spPr/><p:txBody><a:bodyPr/>'
+       || '<a:p><a:r>{tp}<a:t>'
+       || replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</a:t></a:r></a:p></p:txBody></p:sp>'
+       || case when len(points) > 0 then
+            '<p:sp><p:nvSpPr><p:cNvPr id="3" name="Content"/><p:cNvSpPr/><p:nvPr>'
+            || '<p:ph type="body" idx="1"/></p:nvPr></p:nvSpPr><p:spPr/>'
+            || '<p:txBody><a:bodyPr/>'
+            || array_to_string(list_transform(points,
+                 p -> '<a:p><a:r>{bp}<a:t>'
+                      || replace(replace(replace({_sql_render_pt("p")}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                      || '</a:t></a:r></a:p>'), '')
+            || '</p:txBody></p:sp>'
+          else '' end
+       || '{design}'
+       || '</p:spTree></p:cSld></p:sld>' as slide_xml
+from sl
+"""
 
 
 def _sig_cols(num_hashes: int) -> str:
@@ -1227,6 +1294,11 @@ select doc_id, slide_no,
        || '</p:spTree></p:cSld></p:sld>' as slide_xml
 from sl
 """,
+        # q54: q48's structural replay + the Professional theme's run
+        # properties / design shape (theme constants shared with the
+        # engine, like PLANES/QVEC — the split/trim replay is still
+        # independent)
+        "q54_themed_slides": _themed_slides_sql(),
         "q29_raster_ocr": r"""
 with ls as (
   select doc_id, string_split(text, chr(10))[1:48] as lines

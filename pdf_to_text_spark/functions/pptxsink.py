@@ -54,24 +54,99 @@ def _sp(ph: Column, body: Column, *, shape_id: int, name: str) -> Column:
     )
 
 
-def slide_to_xml(slide: Column, slide_no: Column) -> Column:
+# --- themes: the reference's THEME CONFIGURATION data, mirrored as-is
+# (``/root/reference/2_OpenCV_OCR/pptx_designer.py:14-50`` — config
+# constants are matched semantics, like the shared regex strings).
+# design-shape geometry from _add_design_element (:72-102), converted
+# Inches → EMU (×914400) for a 10in × 7.5in slide.
+THEMES: dict[str, dict] = {
+    "Professional": {
+        "title_font": "Arial", "title_color": (0, 51, 102), "title_size": 32,
+        "body_font": "Calibri", "body_color": (89, 89, 89), "body_size": 18,
+        "design_shape": "RECTANGLE", "design_color": (0, 51, 102),
+    },
+    "Creative": {
+        "title_font": "Georgia", "title_color": (230, 81, 0), "title_size": 36,
+        "body_font": "Gill Sans MT", "body_color": (40, 40, 40), "body_size": 20,
+        "design_shape": "SIDE_BAR", "design_color": (230, 81, 0),
+    },
+    "Basic": {
+        "title_font": "Calibri Light", "title_color": (0, 0, 0), "title_size": 30,
+        "body_font": "Calibri", "body_color": (60, 60, 60), "body_size": 18,
+        "design_shape": None, "design_color": (255, 255, 255),
+    },
+}
+DEFAULT_THEME = "Professional"  # pptx_designer.py:57
+
+
+def _rgb_hex(rgb: tuple[int, int, int]) -> str:
+    return "%02X%02X%02X" % rgb
+
+
+def _run_props(font: str, size_pt: int, rgb: tuple[int, int, int]) -> str:
+    """``a:rPr`` for a themed text run: size in centipoints, solid
+    srgb fill, latin typeface — what python-pptx emits for the
+    reference's _apply_theme_style (pptx_designer.py:59-70)."""
+    return (
+        f'<a:rPr lang="en-US" sz="{size_pt * 100}" dirty="0">'
+        f'<a:solidFill><a:srgbClr val="{_rgb_hex(rgb)}"/></a:solidFill>'
+        f'<a:latin typeface="{font}"/></a:rPr>'
+    )
+
+
+def _design_sp(theme: dict) -> str:
+    """The theme's 'bold' design element (pptx_designer.py:72-102):
+    Professional = bottom bar (rect, 0,7.0in, 10×0.5in), Creative =
+    side accent (roundRect, 0,1.5in, 0.2×5.5in); solid themed fill,
+    no outline."""
+    shape = theme.get("design_shape")
+    if not shape:
+        return ""
+    if shape == "RECTANGLE":
+        prst, off, ext = "rect", (0, 6400800), (9144000, 457200)
+    else:  # SIDE_BAR
+        prst, off, ext = "roundRect", (0, 1371600), (182880, 5029200)
+    return (
+        '<p:sp><p:nvSpPr><p:cNvPr id="5" name="Design"/><p:cNvSpPr/><p:nvPr/></p:nvSpPr>'
+        f'<p:spPr><a:xfrm><a:off x="{off[0]}" y="{off[1]}"/>'
+        f'<a:ext cx="{ext[0]}" cy="{ext[1]}"/></a:xfrm>'
+        f'<a:prstGeom prst="{prst}"><a:avLst/></a:prstGeom>'
+        f'<a:solidFill><a:srgbClr val="{_rgb_hex(theme["design_color"])}"/></a:solidFill>'
+        "<a:ln><a:noFill/></a:ln></p:spPr></p:sp>"
+    )
+
+
+def slide_to_xml(slide: Column, slide_no: Column, theme: dict | None = None) -> Column:
     """One blueprint entry → a complete ``slideN.xml`` string.
 
     Slide 0 uses the title placeholder (``type="ctrTitle"`` on the
     title layout), later slides ``type="title"`` — the O4 first-slide
-    rule. Each content point is one ``<a:p>`` bullet paragraph."""
+    rule. Each content point is one ``<a:p>`` bullet paragraph. With a
+    ``theme`` (see ``THEMES``), title/body runs carry the theme's
+    font/size/color run properties and the theme's design shape is
+    appended to the spTree — the reference's themed variant
+    (pptx_designer.py:59-70, 72-102)."""
     from pdf_to_text_spark.functions.text import render_image_placeholder
 
+    t_props = F.lit(
+        _run_props(theme["title_font"], theme["title_size"], theme["title_color"])
+        if theme else ""
+    )
+    b_props = F.lit(
+        _run_props(theme["body_font"], theme["body_size"], theme["body_color"])
+        if theme else ""
+    )
     title_ph = F.when(slide_no == 0, F.lit('type="ctrTitle"')).otherwise(F.lit('type="title"'))
     title_body = F.concat(
-        F.lit("<a:p><a:r><a:t>"), _xml_escape(slide["title"]), F.lit("</a:t></a:r></a:p>")
+        F.lit("<a:p><a:r>"), t_props, F.lit("<a:t>"),
+        _xml_escape(slide["title"]), F.lit("</a:t></a:r></a:p>"),
     )
     points = F.array_join(
         F.transform(
             slide["content"],
             # F10: [Image of X] lines become 🖼️ [PROMPT: X] paragraphs
             lambda pt: F.concat(
-                F.lit("<a:p><a:r><a:t>"),
+                F.lit("<a:p><a:r>"), b_props, F.lit("<a:t>"),
                 _xml_escape(render_image_placeholder(pt)),
                 F.lit("</a:t></a:r></a:p>"),
             ),
@@ -86,14 +161,20 @@ def slide_to_xml(slide: Column, slide_no: Column) -> Column:
         F.lit(SLIDE_XML_HEAD),
         _sp(title_ph, title_body, shape_id=2, name="Title"),
         body_sp,
+        F.lit(_design_sp(theme) if theme else ""),
         F.lit(SLIDE_XML_TAIL),
     ).alias("slide_xml")
 
 
-def blueprint_to_slide_xml(bp: Column) -> Column:
+def blueprint_to_slide_xml(bp: Column, theme_name: str | None = None) -> Column:
     """Blueprint array → array of slide-XML strings (explode for the
-    per-slide frame)."""
-    return F.transform(bp, lambda s, i: slide_to_xml(s, i))
+    per-slide frame). ``theme_name`` selects a ``THEMES`` entry (an
+    unknown name falls back to the reference's DEFAULT_THEME,
+    pptx_designer.py:214); None = unthemed output."""
+    theme = None
+    if theme_name is not None:
+        theme = THEMES.get(theme_name, THEMES[DEFAULT_THEME])
+    return F.transform(bp, lambda s, i: slide_to_xml(s, i, theme))
 
 
 # ------------------------------------------------------------- chart part

@@ -191,3 +191,40 @@ def test_blueprint_to_pptx_parts_chart_routing(spark):
     assert "ppt/slides/_rels/slide1.xml.rels" not in names
     for n in names:
         ET.fromstring(z.read(n))
+
+
+def test_themed_slides_all_themes(spark):
+    """K5 theming (pptx_designer.py THEMES + _apply_theme_style +
+    _add_design_element): run properties carry the theme's
+    font/size/color; Professional gets the bottom-bar rect, Creative
+    the side roundRect, Basic no design shape; unknown names fall back
+    to the reference's DEFAULT_THEME."""
+    from pdf_to_text_spark.functions.pptxsink import blueprint_to_slide_xml
+
+    df = spark.createDataFrame([("# T\n- a point",)], "t string")
+
+    def render(theme):
+        return df.select(
+            blueprint_to_slide_xml(text_to_blueprint(F.col("t")), theme_name=theme).alias("s")
+        ).collect()[0]["s"][0]
+
+    prof = render("Professional")
+    ET.fromstring(prof)
+    assert 'sz="3200"' in prof and '<a:srgbClr val="003366"/>' in prof
+    assert '<a:latin typeface="Arial"/>' in prof          # title font
+    assert 'sz="1800"' in prof and 'val="595959"' in prof  # body run
+    assert '<a:prstGeom prst="rect">' in prof              # bottom bar
+
+    creative = render("Creative")
+    ET.fromstring(creative)
+    assert '<a:latin typeface="Georgia"/>' in creative and 'sz="3600"' in creative
+    assert '<a:prstGeom prst="roundRect">' in creative     # side bar
+
+    basic = render("Basic")
+    ET.fromstring(basic)
+    assert "prstGeom" not in basic                         # clean, no shapes
+
+    assert render("NoSuchTheme") == prof                   # DEFAULT_THEME fallback
+    # unthemed output is byte-stable (no empty rPr artifacts)
+    plain = render(None)
+    assert "<a:rPr" not in plain and "prstGeom" not in plain
