@@ -346,7 +346,7 @@ def blueprint_to_pptx_parts(bp: Column) -> Column:
 
 # ---------------------------------------------------------- OPC container
 
-_CT_HEAD = (
+_CT_HEAD_BARE = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
     '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
     '<Default Extension="rels" ContentType='
@@ -354,7 +354,10 @@ _CT_HEAD = (
     '<Default Extension="xml" ContentType="application/xml"/>'
     '<Override PartName="/ppt/presentation.xml" ContentType='
     '"application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
-    '<Override PartName="/ppt/slideMasters/slideMaster1.xml" ContentType='
+)
+_CT_HEAD = (
+    _CT_HEAD_BARE
+    + '<Override PartName="/ppt/slideMasters/slideMaster1.xml" ContentType='
     '"application/vnd.openxmlformats-officedocument.presentationml.slideMaster+xml"/>'
     '<Override PartName="/ppt/slideLayouts/slideLayout1.xml" ContentType='
     '"application/vnd.openxmlformats-officedocument.presentationml.slideLayout+xml"/>'
@@ -536,6 +539,90 @@ def pptx_package(slide_xmls: pd.Series) -> pd.Series:
     """``array<string>`` of slide XMLs → one deterministic .pptx
     (shared ``functions.udfs.opc_zip`` container contract)."""
     return slide_xmls.map(_pack_pptx)
+
+
+_LAYOUT_CT = (
+    '<Override PartName="/{n}" ContentType='
+    '"application/vnd.openxmlformats-officedocument.presentationml.slideLayout+xml"/>'
+)
+_MASTER_CT = (
+    '<Override PartName="/{n}" ContentType='
+    '"application/vnd.openxmlformats-officedocument.presentationml.slideMaster+xml"/>'
+)
+_THEME_CT = (
+    '<Override PartName="/{n}" ContentType='
+    '"application/vnd.openxmlformats-officedocument.theme+xml"/>'
+)
+
+
+def _pack_pptx_from_template(slides, template: bytes | None) -> bytes | None:
+    """Rebuild a deck INSIDE a template's design: keep the template's
+    slideMasters/slideLayouts/theme parts (and their rels) verbatim,
+    replace everything else — presentation, rels, content types, and
+    ALL slides — with our deterministic parts. This is the engine's
+    counterpart of the reference's template branch
+    (``pptx_designer.py:189-209, 236-245``: load Presentation(template),
+    reuse its layout for every blueprint slide, skip theme styling);
+    slide CONTENT always comes from the blueprint, as there slide 0
+    overwrites the template's existing slide. Standard part naming
+    (``slideMaster1.xml``) is required — anything else raises
+    ``ValueError`` (caught by callers' row tolerance)."""
+    import io
+    import zipfile
+
+    from pdf_to_text_spark.functions.udfs import opc_zip
+
+    if slides is None or template is None:
+        return None
+    slides = list(slides)
+    n = len(slides)
+    zin = zipfile.ZipFile(io.BytesIO(bytes(template)))
+    names = set(zin.namelist())
+    if "ppt/slideMasters/slideMaster1.xml" not in names:
+        raise ValueError("template has no standard slideMaster1 part")
+    style = sorted(
+        m for m in names
+        if m.startswith(("ppt/slideMasters/", "ppt/slideLayouts/", "ppt/theme/"))
+    )
+    ct = _CT_HEAD_BARE + "".join(_SLIDE_CT.format(n=i + 1) for i in range(n))
+    for m in style:
+        if m.endswith(".rels"):
+            continue
+        if "/slideLayouts/" in m:
+            ct += _LAYOUT_CT.format(n=m)
+        elif "/slideMasters/" in m:
+            ct += _MASTER_CT.format(n=m)
+        elif "/theme/" in m:
+            ct += _THEME_CT.format(n=m)
+    members: list[tuple[str, str | bytes]] = [
+        ("[Content_Types].xml", ct + "</Types>"),
+        ("_rels/.rels", _ROOT_RELS),
+        ("ppt/presentation.xml", _presentation_xml(n)),
+        ("ppt/_rels/presentation.xml.rels", _presentation_rels(n)),
+    ]
+    members += [(m, zin.read(m)) for m in style]
+    members += [(f"ppt/slides/slide{i + 1}.xml", s) for i, s in enumerate(slides)]
+    return opc_zip(members)
+
+
+@F.pandas_udf(T.BinaryType())
+def pptx_package_from_template(slide_xmls: pd.Series, template: pd.Series) -> pd.Series:
+    """Template-reuse packager: (array<string> slide XMLs, binary
+    template .pptx) → deck carrying the template's masters/layouts/
+    theme. Row-level tolerance: a malformed/non-standard template
+    yields a null package, not a task failure."""
+
+    def pack(s, t):
+        try:
+            return _pack_pptx_from_template(s, t)
+        except Exception:  # noqa: BLE001 — row tolerance
+            return None
+
+    return pd.Series(
+        [pack(s, t) for s, t in zip(slide_xmls, template)],
+        index=slide_xmls.index,
+        dtype=object,
+    )
 
 
 @F.pandas_udf(T.BinaryType())

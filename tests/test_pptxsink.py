@@ -228,3 +228,62 @@ def test_themed_slides_all_themes(spark):
     # unthemed output is byte-stable (no empty rPr artifacts)
     plain = render(None)
     assert "<a:rPr" not in plain and "prstGeom" not in plain
+
+
+def test_pptx_package_from_template(spark):
+    """Template reuse (the reference's create_pptx_with_style template
+    branch): the rebuilt deck carries the TEMPLATE's masters/layouts/
+    theme verbatim while all slides come from the blueprint; malformed
+    templates degrade to a null package (row tolerance)."""
+    from pdf_to_text_spark.functions.pptxsink import (
+        _THEME_XML,
+        pptx_package,
+        pptx_package_from_template,
+    )
+
+    # the "uploaded template": one of our own decks, re-zipped with a
+    # marker baked into its theme part so provenance is checkable
+    tpl_df = spark.createDataFrame([("# tpl slide",)], "t string")
+    template = tpl_df.select(
+        pptx_package(blueprint_to_slide_xml(text_to_blueprint(F.col("t")))).alias("p")
+    ).collect()[0]["p"]
+    zin = zipfile.ZipFile(io.BytesIO(template))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zo:
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n == "ppt/theme/theme1.xml":
+                assert _THEME_XML.encode() == data
+                data = data.replace(b'name="Office"', b'name="ClientBrand"', 1)
+            zo.writestr(n, data)
+    template = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, SAMPLE, template), (2, SAMPLE, b"not a zip")], "i long, t string, tpl binary"
+    )
+    out = {
+        r["i"]: r["p"]
+        for r in df.select(
+            "i",
+            pptx_package_from_template(
+                blueprint_to_slide_xml(text_to_blueprint(F.col("t"))), F.col("tpl")
+            ).alias("p"),
+        ).collect()
+    }
+    good, bad = out[1], out[2]
+    assert bad is None  # malformed template -> null, not task failure
+
+    z = zipfile.ZipFile(io.BytesIO(good))
+    names = set(z.namelist())
+    for n in names:
+        ET.fromstring(z.read(n))
+    # slides are the blueprint's (3 sections), not the template's one
+    assert sum(1 for n in names if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)) == 3
+    assert "Deck &amp; &lt;Title&gt;" in z.read("ppt/slides/slide1.xml").decode()
+    # the template's theme travels verbatim
+    assert 'name="ClientBrand"' in z.read("ppt/theme/theme1.xml").decode()
+    # content types cover the template's style parts + all slides
+    ct = z.read("[Content_Types].xml").decode()
+    for n in names:
+        if n.endswith(".xml") and ("slideMasters" in n or "theme" in n or n.startswith("ppt/slides/")):
+            assert f'PartName="/{n}"' in ct, n
