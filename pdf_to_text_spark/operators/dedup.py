@@ -147,7 +147,9 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     if cache:
-        sigs = sigs.cache()
+        from pdf_to_text_spark.core.caching import register_cache
+
+        sigs = register_cache(sigs)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -233,7 +235,9 @@ def ngram_jaccard_pairs(
     # calls in a long-lived session.
     sh = shingle_table(df, text_col, id_col, shingle_n)
     if cache:
-        sh = sh.cache()
+        from pdf_to_text_spark.core.caching import register_cache
+
+        sh = register_cache(sh)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")

@@ -129,7 +129,9 @@ def centrality_topk_from_text(
     # Not unpersisted here — the returned plan reads it lazily; repeated
     # callers in a long-lived session pass cache=False or clearCache()
     if cache:
-        e = e.cache()
+        from pdf_to_text_spark.core.caching import register_cache
+
+        e = register_cache(e)
     a = e.select(
         F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), F.col("vn").alias("va")
     )

@@ -6,9 +6,11 @@ Decode status by format (honest inventory):
   all five scanline filters), feeding real luma-thumbnail signatures
   into the cosine near-dup tier (``image_signatures``).
 - **WAV** (PCM16): REAL decode — channels/rate/duration/RMS.
-- **JPEG**: REAL baseline decode (``core.jpegcodec`` — Huffman entropy
-  decode, dequant + IDCT, any sampling factors, restart markers);
-  progressive/arithmetic raise and land in ``decode_error``.
+- **JPEG**: REAL decode, baseline AND progressive (``core.jpegcodec`` —
+  Huffman entropy decode incl. spectral-selection/successive-
+  approximation scans, dequant + vectorized IDCT, any sampling factors,
+  restart markers); arithmetic/lossless raise and land in
+  ``decode_error``.
 - **MP4**: REAL container demux (``core.mp4codec`` — box-tree walk,
   movie/track metadata, full stsc/stco/stsz/stss sample index); rows
   are labeled ``decoder='demux'`` because pixel DECODE (H.264 entropy
@@ -307,6 +309,17 @@ def sample_video_frames(
                     continue
                 for sno, off, size, key in idx:
                     if (sno - 1) % every_n:
+                        continue
+                    if off < 0 or size < 0 or off + size > len(data):
+                        # stco/stsz range outside the file (truncated or
+                        # malformed mp4): an error row, never silently
+                        # short frame_bytes (ADVICE r3)
+                        rows.append(
+                            dict.fromkeys(cols)
+                            | {"media_id": mid, "frame_no": sno,
+                               "demux_error": f"sample {sno} range "
+                               f"[{off}, {off + size}) outside file of {len(data)} bytes"}
+                        )
                         continue
                     rows.append({
                         "media_id": mid, "frame_no": sno, "byte_offset": off,

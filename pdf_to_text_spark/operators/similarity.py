@@ -214,7 +214,9 @@ def lsh_near_dup_pairs(
         F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_vn"),
     )
     if cache:
-        with_b = with_b.cache()
+        from pdf_to_text_spark.core.caching import register_cache
+
+        with_b = register_cache(with_b)
     if max_bucket is not None:
         hot = (
             with_b.groupBy("bucket")

@@ -68,11 +68,14 @@ def build_training_corpus(
     near_dup_min_bands = near_dup_min_bands or (bands // 2 + 1)
     pages = spark.read.parquet(pages_path)
 
-    extracted = (
+    from pdf_to_text_spark.core.caching import (
+        mark_caches, register_cache, release_caches_since)
+
+    cache_mark = mark_caches()
+    extracted = register_cache(
         extract_documents_fused(pages)
         .filter(F.col("error").isNull() & (F.length("extracted_text") > 0))
         .select("url", "extracted_text")
-        .cache()
     )
     n_extracted = extracted.count()
 
@@ -99,7 +102,7 @@ def build_training_corpus(
     exact_unique = (
         hashed.withColumn("_rn", rn).filter(F.col("_rn") == 1).select("url", "extracted_text")
     )
-    exact_unique = exact_unique.cache()
+    exact_unique = register_cache(exact_unique)
     n_exact = exact_unique.count()
 
     # near-dup removal: LSH candidates colliding on ≥ near_dup_min_bands
@@ -117,8 +120,11 @@ def build_training_corpus(
     final.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     n_final = spark.read.parquet(f"{out_dir}/corpus").count()
 
-    extracted.unpersist()
-    exact_unique.unpersist()
+    # release every cache this pipeline (and the operators it called)
+    # registered — incl. minhash_lsh_pairs' internal signature cache,
+    # which r3 left resident in long-lived sessions (VERDICT item 7).
+    # Scoped to our mark so a caller's own registered caches survive.
+    release_caches_since(cache_mark)
     return {
         "extracted": n_extracted,
         "quality_pass": n_quality,

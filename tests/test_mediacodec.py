@@ -145,7 +145,7 @@ def test_jpeg_roundtrip_rgb_and_quality_monotone():
     assert errs[50] > errs[100]
 
 
-def test_jpeg_rejects_malformed_and_progressive():
+def test_jpeg_rejects_malformed_and_unsupported():
     import pytest
 
     from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
@@ -155,12 +155,64 @@ def test_jpeg_rejects_malformed_and_progressive():
     for bad in (b"nope", good[:30], good[:2]):
         with pytest.raises(MediaError):
             decode_jpeg(bad)
-    # flip SOF0 marker to SOF2 (progressive) → explicit unsupported error
-    prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
+    # flip SOF0 to SOF9 (arithmetic sequential) → explicit unsupported
+    arith = bytearray(good)
+    i = arith.find(b"\xff\xc0")
+    arith[i + 1] = 0xC9
     with pytest.raises(MediaError, match="non-baseline"):
+        decode_jpeg(bytes(arith))
+    # SOF0 flipped to SOF2 makes the baseline SOS header (Ss=0, Se=63)
+    # illegal for a progressive frame — still a clean MediaError
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2
+    with pytest.raises(MediaError):
         decode_jpeg(bytes(prog))
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2: DC first+refine, two spectral AC bands at
+    Al=2 refined down to Al=0, EOB runs) carries the SAME quantized
+    coefficients as baseline at equal quality — decoded pixels must be
+    bit-identical across the two entropy layouts."""
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive, jpeg_dims)
+
+    rng = np.random.default_rng(11)
+    for (w, h, ch) in [(16, 16, 1), (24, 17, 3), (33, 9, 3)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for q in (50, 90):
+            prog = encode_jpeg_progressive(w, h, ch, px, quality=q)
+            assert jpeg_dims(prog) == (w, h, ch)
+            assert decode_jpeg(prog) == decode_jpeg(encode_jpeg(w, h, ch, px, quality=q))
+
+
+def test_jpeg_multiscan_baseline_and_fill_bytes():
+    """The legal one-scan-per-component baseline layout (T.81 B.2.3)
+    decodes identically to the interleaved layout (r3 ADVICE: it used
+    to die in a raw KeyError); 0xFF fill bytes before a marker are
+    skipped per B.1.1.2."""
+    import numpy as np
+    import pytest
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf_to_text_spark.core.mediacodec import MediaError
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8).tobytes()
+    inter = encode_jpeg(14, 11, 3, px, quality=80)
+    multi = encode_jpeg(14, 11, 3, px, quality=80, interleaved=False)
+    assert decode_jpeg(multi) == decode_jpeg(inter)
+
+    i = inter.find(b"\xff\xc0")
+    filled = inter[:i] + b"\xff\xff\xff" + inter[i:]
+    assert decode_jpeg(filled) == decode_jpeg(inter)
+
+    # dropping the last component's scan → MediaError, not KeyError
+    trunc = multi[: multi.rfind(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(MediaError, match="incomplete scans"):
+        decode_jpeg(trunc)
 
 
 def test_image_signatures_accept_jpeg(spark):

@@ -76,6 +76,46 @@ def test_sample_video_frames_real_demux(spark):
         decode_video_frame(got1[0]["frame_bytes"])
 
 
+def test_sample_video_frames_out_of_range_is_error_row(spark):
+    """ADVICE r3: a file whose sample index points past EOF (truncated
+    or malformed stco) must emit demux_error rows for the out-of-range
+    samples — never silently short/empty frame_bytes. Built by patching
+    the LAST chunk's stco offset to near-EOF so its samples overrun."""
+    import struct
+
+    from pdf_to_text_spark.core.mp4codec import build_mp4
+
+    samples = [bytes([65 + i]) * 40 for i in range(6)]
+    full = build_mp4(samples, keyframe_every=3)
+    # chunks of 3 → patch the second chunk's stco offset to 10 bytes
+    # before EOF (search inside moov, i.e. past mdat, so a coincidental
+    # byte pattern in payloads/box sizes can't be hit)
+    moov_start = full.index(samples[3][:8]) + sum(len(s) for s in samples[3:])
+    second_off = full.index(
+        struct.pack(">I", full.index(samples[3][:8])), moov_start
+    )
+    patched = (
+        full[:second_off]
+        + struct.pack(">I", len(full) - 10)
+        + full[second_off + 4 :]
+    )
+    df = spark.createDataFrame([(1, patched)], "media_id long, media binary")
+    rows = sorted(
+        (r.asDict() for r in sample_video_frames(df, every_n=1).collect()),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 6
+    ok = [r for r in rows if r["demux_error"] is None]
+    bad = [r for r in rows if r["demux_error"] is not None]
+    assert [r["frame_no"] for r in ok] == [1, 2, 3]
+    assert [r["frame_no"] for r in bad] == [4, 5, 6]
+    for r in ok:  # in-range rows still carry exact payloads
+        assert r["frame_bytes"] == samples[r["frame_no"] - 1]
+    for r in bad:
+        assert r["frame_bytes"] is None
+        assert "outside file" in r["demux_error"]
+
+
 def test_incremental_streaming_extraction(spark, corpus_dir, golden_extracted, tmp_path):
     """availableNow streaming over the pages dir must equal the batch
     result, and a second drop of files is picked up incrementally."""

@@ -230,6 +230,55 @@ def test_themed_slides_all_themes(spark):
     assert "<a:rPr" not in plain and "prstGeom" not in plain
 
 
+def test_template_media_closure_and_dangling_rels():
+    """ADVICE r3 (medium): a template whose master rels reference
+    ppt/media/* images must carry those parts (plus their content-type
+    Defaults) into the rebuilt deck — r3 dropped them, leaving dangling
+    relationships. A rels target genuinely missing from the template
+    raises (callers' row tolerance nulls the row) instead of emitting a
+    silently corrupt package."""
+    import pytest
+
+    from pdf_to_text_spark.functions.pptxsink import (
+        _MASTER_RELS,
+        _pack_pptx,
+        _pack_pptx_from_template,
+    )
+
+    base = _pack_pptx(["<p:sld/>"])
+    zin = zipfile.ZipFile(io.BytesIO(base))
+    media_rel = (
+        '<Relationship Id="rId9" Type='
+        '"http://schemas.openxmlformats.org/officeDocument/2006/relationships/image"'
+        ' Target="../media/image1.png"/></Relationships>'
+    )
+    with_media = io.BytesIO()
+    with zipfile.ZipFile(with_media, "w", zipfile.ZIP_STORED) as zo:
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n == "ppt/slideMasters/_rels/slideMaster1.xml.rels":
+                assert data.decode() == _MASTER_RELS
+                data = data.replace(b"</Relationships>", media_rel.encode())
+            zo.writestr(n, data)
+        zo.writestr("ppt/media/image1.png", b"\x89PNG fake bytes")
+
+    deck = _pack_pptx_from_template(["<p:sld/>", "<p:sld/>"], with_media.getvalue())
+    z = zipfile.ZipFile(io.BytesIO(deck))
+    assert z.read("ppt/media/image1.png") == b"\x89PNG fake bytes"
+    ct = z.read("[Content_Types].xml").decode()
+    assert '<Default Extension="png" ContentType="image/png"/>' in ct
+
+    # same template minus the media part -> the kept rels dangle -> raise
+    dangling = io.BytesIO()
+    with zipfile.ZipFile(dangling, "w", zipfile.ZIP_STORED) as zo:
+        zsrc = zipfile.ZipFile(with_media)
+        for n in zsrc.namelist():
+            if n != "ppt/media/image1.png":
+                zo.writestr(n, zsrc.read(n))
+    with pytest.raises(ValueError, match="missing from package"):
+        _pack_pptx_from_template(["<p:sld/>"], dangling.getvalue())
+
+
 def test_pptx_package_from_template(spark):
     """Template reuse (the reference's create_pptx_with_style template
     branch): the rebuilt deck carries the TEMPLATE's masters/layouts/

@@ -110,3 +110,10 @@ def test_jpeg_roundtrip_structure_any_size(w, h, channels, seed):
         assert np.abs(a - b).max() <= 4
     else:
         assert np.abs(a - b).max() <= 6
+    # the three entropy layouts (interleaved baseline, one-scan-per-
+    # component baseline, progressive) carry identical coefficients →
+    # identical pixels
+    from pdf_to_text_spark.core.jpegcodec import encode_jpeg_progressive
+
+    assert decode_jpeg(encode_jpeg(w, h, channels, px, quality=100, interleaved=False))[3] == out
+    assert decode_jpeg(encode_jpeg_progressive(w, h, channels, px, quality=100))[3] == out
