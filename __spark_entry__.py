@@ -41,6 +41,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """CPU-parallelism guard for compute-bound per-row stages (round-4
+    q29 finding): the sf test tables are SINGLE-ROW-GROUP parquet
+    files, so Spark's byte-based file splitting hands them ONE task no
+    matter how many cores exist — a heavy Arrow-UDF or Catalyst string
+    stage then runs single-core (q29 measured 10.8 s single-task vs
+    3.4 s repartitioned at local[32]) and its bench time tracks host
+    noise 1:1. At 100 TB inputs arrive as thousands of files and this
+    is automatic; the explicit repartition (a ~KB-per-row shuffle,
+    trivial next to the compute it unlocks) makes compute-bound stages
+    scale with cores instead of with input-file layout."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dsum(c: Column, scale: int, prec: str = "decimal(28,6)") -> Column:
     """Order-independent rounded sum: double addition is NOT associative,
     so a double-sum rounded near a boundary can differ between Spark's
@@ -204,12 +218,12 @@ def _q11_charset_clean(spark, sf):
 
 
 def _q12_deep_clean(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select("doc_id", X.deep_clean(F.col("text")).alias("cleaned"))
 
 
 def _q13_normalize(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select("doc_id", X.normalize_extracted(F.col("text")).alias("norm"))
 
 
@@ -502,7 +516,7 @@ def _q28_docx_xml(spark, sf):
     CRC32 isn't SQL-expressible, the XML is."""
     from pdf_to_text_spark.operators.blueprint import blueprint_to_docx_xml, text_to_blueprint
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     md_src = _md_src()
     return d.select(
         "doc_id", blueprint_to_docx_xml(text_to_blueprint(md_src)).alias("docx_xml")
@@ -517,7 +531,7 @@ def _q29_raster_ocr(spark, sf):
     through actual pixel data."""
     from pdf_to_text_spark.operators.multimodal import ocr_pages, rasterize_pages
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return ocr_pages(rasterize_pages(d)).select(
         "doc_id", F.col("ocr_text").alias("recovered")
     )
@@ -532,7 +546,7 @@ def _q48_pptx_slides(spark, sf):
     from pdf_to_text_spark.functions.pptxsink import blueprint_to_slide_xml
     from pdf_to_text_spark.operators.blueprint import text_to_blueprint
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     md_src = _md_src()
     return d.select(
         "doc_id",
@@ -553,7 +567,7 @@ def _q51_image_placeholder(spark, sf):
     hash-checked."""
     from pdf_to_text_spark.operators.blueprint import blueprint_to_docx_xml, text_to_blueprint
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     md = F.concat(
         F.lit("# doc "), F.col("doc_id").cast("string"),
         F.lit("\n- intro point\n- [Image of pipeline "),
@@ -573,7 +587,7 @@ def _q50_chart_xml(spark, sf):
     tests/test_pptxsink.py."""
     from pdf_to_text_spark.functions.pptxsink import chart_to_chart_xml
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select(
         "doc_id", chart_to_chart_xml(X.parse_chart_string(_chart_src())).alias("chart_xml")
     )
@@ -589,7 +603,7 @@ def _q54_themed_slides(spark, sf):
     from pdf_to_text_spark.functions.pptxsink import blueprint_to_slide_xml
     from pdf_to_text_spark.operators.blueprint import text_to_blueprint
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         F.posexplode(
@@ -609,7 +623,7 @@ def _q53_chart_routed_deck(spark, sf):
     from pdf_to_text_spark.functions.pptxsink import blueprint_to_pptx_parts
     from pdf_to_text_spark.operators.blueprint import text_to_blueprint
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     cs = F.concat(
         F.lit("Report "), F.col("doc_id").cast("string"),
         F.lit(", series_"), (F.col("doc_id") % 3).cast("string"),
@@ -632,7 +646,7 @@ def _q46_embed_centrality(spark, sf):
     chain is hash-checked."""
     from pdf_to_text_spark.operators.embed import centrality_topk_from_text
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return centrality_topk_from_text(d, "text", "doc_id", "source", k=3, dim=16)
 
 
@@ -671,7 +685,7 @@ def _q27_pdf_sink(spark, sf):
     final_output_generator.py:11-19). The DuckDB twin rebuilds the
     byte-exact document — xref offsets included — so the sink is
     hash-checked; tests additionally pin writer→parser roundtrip."""
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     # build the (large) PDF expression tree once; derive n_bytes from
     # the materialized column in a second projection
     p = d.select("doc_id", text_to_pdf(F.col("text")).alias("pdf"))
@@ -691,7 +705,7 @@ def _q55_pdf_widened_roundtrip(spark, sf):
     parser loop is byte-faithful on every doc. Reference parity: accepts
     uploads beyond the single-level fixture shape
     (``core_document_generator.py:122`` ``fitz.open(stream=...)``)."""
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
 
     @F.pandas_udf("array<string>")
     def widened_roundtrip(texts: pd.Series) -> pd.Series:
