@@ -738,6 +738,55 @@ def _q55_pdf_widened_roundtrip(spark, sf):
     )
 
 
+def _q56_pdf_notch2_roundtrip(spark, sf):
+    """Round-4 notch-2 PDF subset through REAL bytes: each doc's text
+    (printable-ASCII sanitized) laid out as 2 pages x 3 lines of 30
+    chars, built into a PDF exercising the three notch-2 features at
+    once — a /Type0 /Identity-H font with a /ToUnicode CMap (2-byte
+    CID hex show strings whose wire codes differ from the Unicode they
+    decode to), /Contents ARRAYS (each page's stream split into two
+    objects at a token boundary), and a /Type /ObjStm container holding
+    every non-stream object (catalog, page tree, pages, font) — then
+    parsed back by ``core/pdfparse.py``, one row per page. The oracle
+    recomputes expected page text with SQL string ops; a hash match
+    proves generator→CMap→parser is byte-faithful per doc. Reference
+    parity: modern real-world uploads (PDF 1.5+ compressed xref,
+    Identity-H text) accepted by ``core_document_generator.py:122``."""
+    d = _par(spark, _t(spark, sf, "documents"))
+
+    @F.pandas_udf("array<string>")
+    def notch2_roundtrip(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+        from pdf_to_text_spark.core.pdfparse import extract_pdf_pages
+
+        def rt(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            lines = [s[i * 30 : (i + 1) * 30] for i in range(6)]
+            pdf = build_pdf(
+                [
+                    page_content_stream(lines[:3], style="cid"),
+                    page_content_stream(lines[3:], style="cid"),
+                ],
+                flate=True,
+                cid_font=True,
+                split_content=True,
+                objstm=True,
+            )
+            return extract_pdf_pages(pdf)
+
+        return texts.map(rt)
+
+    return d.select(
+        "doc_id", F.posexplode(notch2_roundtrip(F.col("text")))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("page_no"),
+        F.col("col").alias("page_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -789,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_chart_routed_deck": _q53_chart_routed_deck,
         "q54_themed_slides": _q54_themed_slides,
         "q55_pdf_widened_roundtrip": _q55_pdf_widened_roundtrip,
+        "q56_pdf_notch2_roundtrip": _q56_pdf_notch2_roundtrip,
     }
 
 
@@ -1366,6 +1416,19 @@ select doc_id, 1 as page_no,
 union all
 select doc_id, 2 as page_no,
        substr(t, 81, 40) || chr(10) || substr(t, 121, 40) as page_text from s
+""",
+        "q56_pdf_notch2_roundtrip": """
+with s as (
+  select doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') as t
+  from documents
+)
+select doc_id, 1 as page_no,
+       substr(t, 1, 30) || chr(10) || substr(t, 31, 30) || chr(10)
+       || substr(t, 61, 30) as page_text from s
+union all
+select doc_id, 2 as page_no,
+       substr(t, 91, 30) || chr(10) || substr(t, 121, 30) || chr(10)
+       || substr(t, 151, 30) as page_text from s
 """,
         "q29_raster_ocr": r"""
 with ls as (

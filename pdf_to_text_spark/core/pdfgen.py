@@ -76,23 +76,80 @@ def page_content_stream(
             hx = ln.encode("latin-1", "replace").hex().upper()
             ops.append(f"<{hx}> Tj")
         ops.append("EMC")
+    elif style == "cid":
+        # notch-2 widened subset: 2-byte CID codes through the
+        # synthetic ToUnicode CMap (``tounicode_cmap``) — code =
+        # ord(ch) + 0x100 for printable ASCII, 0x0001 for '§'. Proves
+        # the CMap is actually applied: the code points on the wire
+        # differ from the Unicode they decode to.
+        ops.append(f"{x0:g} {y0:g} Td")
+        for i, ln in enumerate(lines):
+            if i > 0:
+                ops.append(f"0 -{leading:g} TD")
+            codes = "".join(f"{cid_code(ch):04X}" for ch in ln)
+            ops.append(f"<{codes}> Tj")
     else:
         raise ValueError(f"unknown style {style!r}")
     ops.append("ET")
     return ("\n".join(ops)).encode("latin-1")
 
 
+def cid_code(ch: str) -> int:
+    """The synthetic CID encoding matching ``tounicode_cmap``: printable
+    ASCII shifts by +0x100 (the CMap's bfrange undoes it), '§' maps via
+    the bfchar entry at code 0x0001."""
+    if ch == "§":
+        return 0x0001
+    o = ord(ch)
+    if 0x20 <= o <= 0x7E:
+        return o + 0x100
+    raise ValueError(f"cid style supports printable ASCII + '§', got {ch!r}")
+
+
+def tounicode_cmap() -> bytes:
+    """Deterministic /ToUnicode CMap (PDF 32000 §9.10.3) exercising all
+    three mapping constructs the parser supports: a 2-byte codespace,
+    a bfchar pair, and bfrange in BOTH the increment and array-dst
+    forms (codes 0x180-0x182 → A/B/C are redundant with the bulk range
+    on purpose — they exist to pin the array form)."""
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0001> <00A7>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0120> <017E> <0020>\n"
+        b"<0180> <0182> [<0041> <0042> <0043>]\n"
+        b"endbfrange\n"
+        b"endcmap\n"
+        b"CMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+
+
 def build_pdf(
     pages: list[bytes], *, flate: bool = False, filter_array: bool = False,
-    nested: bool = False,
+    nested: bool = False, cid_font: bool = False, split_content: bool = False,
+    objstm: bool = False,
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
-    Round-4 widened-subset knobs (both legal per PDF 32000):
+    Round-4 widened-subset knobs (all legal per PDF 32000):
     ``filter_array`` writes ``/Filter [/FlateDecode]`` (§7.3.8 array
     form; implies flate), ``nested`` splits the page tree into two
     intermediate /Pages nodes under the root (§7.7.3.2 allows arbitrary
     tree shapes) so readers must walk /Kids recursively.
+
+    Notch-2 knobs: ``cid_font`` emits a /Type0 /Identity-H font whose
+    /ToUnicode CMap (``tounicode_cmap``) decodes the ``cid``-style
+    2-byte hex show strings; ``split_content`` divides each page's
+    content stream into TWO objects at a newline token boundary and
+    references them as a ``/Contents [a 0 R b 0 R]`` array (§7.7.3.3);
+    ``objstm`` packs every non-stream object (catalog, page tree, page
+    dicts, font) into a /Type /ObjStm container (§7.5.7) and bumps the
+    header to %PDF-1.5 — the classic xref table is retained for the
+    top-level objects (hybrid-reference shape; our parser ignores xref
+    and scans, as many repair-mode readers do).
     """
     flate = flate or filter_array
     objs: dict[int, bytes] = {}
@@ -116,25 +173,74 @@ def build_pdf(
         objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
         parent_of = lambda i: 2  # noqa: E731
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    for i, content in enumerate(pages):
-        pnum, cnum = 3 + 2 * i, 4 + 2 * i
-        objs[pnum] = (
-            f"<< /Type /Page /Parent {parent_of(i)} 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {cnum} 0 R /Resources << /Font << /F1 {font_num} 0 R >> >> >>"
-        ).encode()
+    tounicode_num = font_num + 3  # slots +1/+2 reserved for nested mids
+    extra_content_base = font_num + 4
+
+    def _stream_obj(content: bytes) -> bytes:
         data = zlib.compress(content) if flate else content
         filt = (
             b" /Filter [/FlateDecode]" if filter_array
             else (b" /Filter /FlateDecode" if flate else b"")
         )
-        objs[cnum] = (
+        return (
             b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
             + data
             + b"\nendstream"
         )
-    objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
-    out = bytearray(b"%PDF-1.4\n")
+    for i, content in enumerate(pages):
+        pnum, cnum = 3 + 2 * i, 4 + 2 * i
+        if split_content:
+            mid = content.find(b"\n", len(content) // 2)
+            parts = (
+                [content[:mid], content[mid:]] if mid != -1 else [content]
+            )
+        else:
+            parts = [content]
+        if len(parts) == 2:
+            cnum2 = extra_content_base + i
+            contents_entry = f"/Contents [{cnum} 0 R {cnum2} 0 R]"
+            objs[cnum2] = _stream_obj(parts[1])
+        else:
+            contents_entry = f"/Contents {cnum} 0 R"
+        objs[pnum] = (
+            f"<< /Type /Page /Parent {parent_of(i)} 0 R /MediaBox [0 0 612 792] "
+            f"{contents_entry} /Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode()
+        objs[cnum] = _stream_obj(parts[0])
+    if cid_font:
+        objs[font_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>"
+        ).encode()
+        objs[tounicode_num] = _stream_obj(tounicode_cmap())
+    else:
+        objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    if objstm:
+        # pack every non-stream object into one /Type /ObjStm container
+        packed = {n_: b for n_, b in objs.items() if b"\nstream\n" not in b}
+        for n_ in packed:
+            del objs[n_]
+        objstm_num = extra_content_base + n_pages
+        bodies = [packed[n_] for n_ in sorted(packed)]
+        offs: list[int] = []
+        pos = 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b) + 1
+        header = " ".join(
+            f"{n_} {off}" for n_, off in zip(sorted(packed), offs)
+        ).encode()
+        payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+        first = len(header) + 1
+        objs[objstm_num] = (
+            f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+            f"/Length {len(payload)} >>".encode()
+            + b"\nstream\n" + payload + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
         offsets[num] = len(out)

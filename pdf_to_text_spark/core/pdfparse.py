@@ -17,6 +17,24 @@ content streams with ``/Filter`` given as a name OR a filter array
 with cycle + depth guards), inline dictionaries in content streams
 (skipped, e.g. BDC property lists).
 
+Round-4 notch 2 (the three features that dominate real-world uploads
+beyond notch 1):
+- ``/Contents`` ARRAYS (``/Contents [4 0 R 9 0 R]``, PDF 32000
+  §7.7.3.3): the parts are decoded independently and logically
+  concatenated with a newline — token boundaries between parts are
+  the emitter's responsibility, as in the spec.
+- OBJECT STREAMS (``/Type /ObjStm``, §7.5.7): compressed containers
+  holding non-stream objects (catalog, page dicts, fonts). Expanded
+  eagerly before the page-tree walk; a top-level definition of the
+  same object number wins (classic-xref precedence in hybrid files).
+- ``/ToUnicode`` CMAPS with ``Tf`` font tracking (§9.10.3): show
+  strings are decoded through the CURRENT font's CMap —
+  ``begincodespacerange`` fixes the code width (1 or 2 bytes),
+  ``beginbfchar`` pairs and ``beginbfrange`` (increment AND array
+  dst forms) populate the map; unmapped codes become U+FFFD. Fonts
+  without a CMap keep the frozen latin-1 byte semantics, so notch-0/1
+  fixtures are bit-identical.
+
 Raises ``PdfError`` on malformed input; callers map that to an
 ``error`` column (row-level tolerance, ``main.py:77-78`` analog).
 """
@@ -91,7 +109,7 @@ def _stream_data(body: bytes) -> bytes:
     return data
 
 
-def _unescape(raw: bytes) -> str:
+def _unescape(raw: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -123,7 +141,7 @@ def _unescape(raw: bytes) -> str:
         else:
             out.append(e)
             i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]/]*")
@@ -133,7 +151,11 @@ _WS_BYTES = frozenset(b" \t\r\n\f\x00")
 
 
 def _tokenize(content: bytes):
-    """Yield ('str', s) | ('num', f) | ('name', b) | ('op', b) | ('arr', list).
+    """Yield ('str', raw bytes) | ('num', f) | ('name', b) | ('op', b) | ('arr', list).
+
+    String tokens stay RAW BYTES here — the byte→text decode depends on
+    the current font's ToUnicode CMap, which only the interpreter
+    (``_runs_from_content``) knows at show time.
 
     Positional matching throughout (no ``content[i:]`` slices) — the
     tokenizer must stay O(n) on multi-MB whale content streams."""
@@ -199,7 +221,7 @@ def _tokenize(content: bytes):
                     raise PdfError("bad hex string")
                 if len(hx) % 2:
                     hx += b"0"
-                tok = emit(("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1")))
+                tok = emit(("str", bytes.fromhex(hx.decode("ascii"))))
                 if tok:
                     yield tok
                 i = j + 1
@@ -235,18 +257,161 @@ def _tokenize(content: bytes):
                 i = m.end()
 
 
-def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:
+# --------------------------------------------------------------- fonts/CMaps
+
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _utf16be(data: bytes) -> str:
+    if len(data) % 2:
+        raise PdfError("CMap dst not UTF-16BE (odd length)")
+    return data.decode("utf-16-be")
+
+
+def _cmap_tokens(body: bytes):
+    """Token stream inside a bfchar/bfrange section: hex strings and
+    the brackets of the array-dst bfrange form; anything else skipped."""
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i : i + 1]
+        if c == b"<":
+            j = body.find(b">", i)
+            if j == -1:
+                raise PdfError("unterminated CMap hex string")
+            yield ("hex", re.sub(rb"\s", b"", body[i + 1 : j]))
+            i = j + 1
+        elif c in (b"[", b"]"):
+            yield (c.decode(), None)
+            i += 1
+        else:
+            i += 1
+
+
+def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Decoded /ToUnicode stream → (code width in bytes, code→str map).
+
+    Supports §9.10.3 CMaps: ``begincodespacerange`` (first range fixes
+    the code width), ``beginbfchar`` pairs, ``beginbfrange`` in both
+    the increment form (``<lo> <hi> <dstStart>`` — last code unit
+    increments) and the array form (``<lo> <hi> [<d0> <d1> ...]``).
+    """
+    width = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        h = _CMAP_HEX_RE.search(m.group(1))
+        if h:
+            width = max(1, len(h.group(1).replace(b" ", b"")) // 2)
+    mapping: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = [t for t in _cmap_tokens(sec.group(1)) if t[0] == "hex"]
+        if len(toks) % 2:
+            raise PdfError("bfchar section has an odd token count")
+        for (_, src), (_, dst) in zip(toks[0::2], toks[1::2]):
+            mapping[int(src, 16)] = _utf16be(bytes.fromhex(dst.decode()))
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = list(_cmap_tokens(sec.group(1)))
+        k = 0
+        while k < len(toks):
+            if toks[k][0] != "hex" or k + 2 >= len(toks):
+                raise PdfError("malformed bfrange entry")
+            lo, hi = int(toks[k][1], 16), int(toks[k + 1][1], 16)
+            if hi < lo:
+                raise PdfError("bfrange hi < lo")
+            if toks[k + 2][0] == "[":
+                k += 3
+                code = lo
+                while k < len(toks) and toks[k][0] == "hex":
+                    mapping[code] = _utf16be(bytes.fromhex(toks[k][1].decode()))
+                    code += 1
+                    k += 1
+                if k >= len(toks) or toks[k][0] != "]" or code != hi + 1:
+                    raise PdfError("bfrange array dst count mismatch")
+                k += 1
+            else:
+                dst_hex = toks[k + 2][1]
+                dwidth = len(dst_hex) // 2
+                base = int(dst_hex, 16)
+                for c in range(lo, hi + 1):
+                    mapping[c] = _utf16be(
+                        (base + c - lo).to_bytes(dwidth, "big")
+                    )
+                k += 3
+    return width, mapping
+
+
+def _decode_shown(raw: bytes, font: tuple[int, dict[int, str]] | None) -> str:
+    """Show-string bytes → text via the current font's CMap; fonts
+    without a /ToUnicode keep the frozen latin-1 byte semantics."""
+    if font is None:
+        return raw.decode("latin-1")
+    width, mapping = font
+    if width <= 1:
+        return "".join(mapping.get(b, "�") for b in raw)
+    if len(raw) % width:
+        raise PdfError("show string not a multiple of the CMap code width")
+    return "".join(
+        mapping.get(int.from_bytes(raw[i : i + width], "big"), "�")
+        for i in range(0, len(raw), width)
+    )
+
+
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
+def _page_fonts(
+    objs: dict[int, bytes], page_body: bytes
+) -> dict[bytes, tuple[int, dict[int, str]] | None]:
+    """Page dict → font-name → (width, cmap) | None map.
+
+    ``/Resources`` may be inline or an indirect ref; the ``/Font``
+    sub-dict in our subset holds only ``Name → obj R`` entries (no
+    nested dicts), so a non-greedy ``<< ... >>`` match is exact.
+    """
+    rm = _RES_REF_RE.search(page_body)
+    if rm is not None:
+        res = objs.get(int(rm.group(1)))
+        if res is None:
+            raise PdfError("dangling resources ref")
+    else:
+        res = page_body
+    fm = _FONT_DICT_RE.search(res)
+    if fm is None:
+        return {}
+    fonts: dict[bytes, tuple[int, dict[int, str]] | None] = {}
+    for em in _FONT_ENTRY_RE.finditer(fm.group(1)):
+        fbody = objs.get(int(em.group(2)))
+        if fbody is None:
+            raise PdfError("dangling font ref")
+        tm_ = _TOUNICODE_RE.search(fbody)
+        if tm_ is None:
+            fonts[b"/" + em.group(1)] = None
+        else:
+            cmap_obj = objs.get(int(tm_.group(1)))
+            if cmap_obj is None:
+                raise PdfError("dangling ToUnicode ref")
+            fonts[b"/" + em.group(1)] = parse_tounicode(_stream_data(cmap_obj))
+    return fonts
+
+
+def _runs_from_content(
+    content: bytes,
+    fonts: dict[bytes, tuple[int, dict[int, str]] | None] | None = None,
+) -> list[tuple[float, float, str]]:
     """Interpret text operators → (y, x, text) runs."""
     runs: list[tuple[float, float, str]] = []
     x = y = 0.0
     leading = 0.0
     stack: list = []
+    cur_font: tuple[int, dict[int, str]] | None = None
 
     def tj_text(items: list) -> str:
         parts: list[str] = []
         for kind, val in items:
             if kind == "str":
-                parts.append(val)
+                parts.append(_decode_shown(val, cur_font))
             elif kind == "num" and val <= TJ_SPACE_KERN:
                 parts.append(" ")
         return "".join(parts)
@@ -272,13 +437,18 @@ def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:
         elif val == b"T*":
             y -= leading
         elif val == b"Tj":
-            runs.append((y, x, stack[-1][1]))
+            runs.append((y, x, _decode_shown(stack[-1][1], cur_font)))
         elif val == b"'":
             y -= leading
-            runs.append((y, x, stack[-1][1]))
+            runs.append((y, x, _decode_shown(stack[-1][1], cur_font)))
         elif val == b"TJ":
             runs.append((y, x, tj_text(stack[-1][1])))
-        # Tf, ET, and anything else: no text-position effect in our subset
+        elif val == b"Tf":
+            # operands: font name, size — size has no effect in our
+            # subset; the name selects the CMap for later show ops
+            if len(stack) >= 2 and stack[-2][0] == "name":
+                cur_font = (fonts or {}).get(stack[-2][1])
+        # ET and anything else: no text-position effect in our subset
         stack.clear()
     return runs
 
@@ -299,6 +469,71 @@ def _runs_to_text(runs: list[tuple[float, float, str]]) -> str:
         else:
             lines[-1].append(r)
     return "\n".join("".join(t for _, _, t in sorted(ln, key=lambda r: r[1])) for ln in lines)
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm(?![A-Za-z])")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Unpack every /Type /ObjStm container into ``objs`` in place.
+
+    The stream starts with N (objnum, offset) integer pairs; offsets
+    are relative to /First (PDF 32000 §7.5.7). A top-level definition
+    of the same object number wins — classic-xref precedence in
+    hybrid-reference files — hence ``setdefault``.
+    """
+    extra: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        if _OBJSTM_RE.search(body) is None or b"stream" not in body:
+            continue
+        nm = _OBJSTM_N_RE.search(body)
+        fm = _OBJSTM_FIRST_RE.search(body)
+        if nm is None or fm is None:
+            raise PdfError("ObjStm missing /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        data = _stream_data(body)
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise PdfError("ObjStm header shorter than /N pairs")
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+        except ValueError as e:
+            raise PdfError("ObjStm header not integer pairs") from e
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(data)
+            if not first + off <= end <= len(data):
+                raise PdfError("ObjStm offset out of range")
+            extra[onum] = data[first + off : end]
+    for num, body in extra.items():
+        objs.setdefault(num, body)
+
+
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+
+
+def _page_content(objs: dict[int, bytes], page: bytes) -> bytes | None:
+    """Resolve a page's /Contents — single ref or array of refs; array
+    parts are decoded independently and joined with a newline (§7.7.3.3:
+    the division between streams happens only at token boundaries)."""
+    am = _CONTENTS_ARR_RE.search(page)
+    if am is not None:
+        nums = [int(m.group(1)) for m in _REF_RE.finditer(am.group(1))]
+    else:
+        cm = _CONTENTS_RE.search(page)
+        if cm is None:
+            return None
+        nums = [int(cm.group(1))]
+    parts: list[bytes] = []
+    for num in nums:
+        cobj = objs.get(num)
+        if cobj is None:
+            raise PdfError("dangling contents ref")
+        parts.append(_stream_data(cobj))
+    return b"\n".join(parts)
 
 
 _TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages(?![A-Za-z])")
@@ -341,6 +576,7 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (magic bytes)")
     objs = _parse_objects(data)
+    _expand_object_streams(objs)
     # root: the Catalog's /Pages ref; fallback to the first /Type /Pages
     # object for catalog-less fragments
     root_num = None
@@ -361,19 +597,18 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     texts: list[str] = []
     for pnum in _collect_leaf_pages(objs, root_num, set(), 0):
         page = objs[pnum]
-        cm = _CONTENTS_RE.search(page)
-        if cm is None:
+        content = _page_content(objs, page)
+        if content is None:
             texts.append("")
             continue
-        cobj = objs.get(int(cm.group(1)))
-        if cobj is None:
-            raise PdfError("dangling contents ref")
-        content = _stream_data(cobj)
+        fonts = _page_fonts(objs, page)
         # frozen spec: \x02 (the engine's internal page sentinel) is
         # stripped from page text — a PDF string could inject it via an
         # octal escape and would otherwise split one page into two in
         # the fused operator's PAGE_SEP join/split round-trip
-        texts.append(_runs_to_text(_runs_from_content(content)).replace("\x02", ""))
+        texts.append(
+            _runs_to_text(_runs_from_content(content, fonts)).replace("\x02", "")
+        )
     return texts
 
 

@@ -86,3 +86,89 @@ def test_errors_raise_pdferror():
         extract_pdf_pages(b"%PDF-1.4\nno objects here")
     with pytest.raises(PdfError):
         extract_pdf_pages(b"not a pdf at all")
+
+
+# ------------------------------------------------------- round-4 notch 2
+
+NOTCH2_LINES = ["Hello world S", "Second line $ok"]
+
+
+@pytest.mark.parametrize("objstm", [False, True])
+@pytest.mark.parametrize("split", [False, True])
+@pytest.mark.parametrize("style", ["td", "hex", "cid"])
+def test_notch2_roundtrip_matrix(style, split, objstm):
+    """Contents arrays, object streams, and CID/ToUnicode fonts — every
+    combination roundtrips; the cid style proves the CMap is applied
+    because wire codes differ from the Unicode they decode to."""
+    pdf = build_pdf(
+        [
+            page_content_stream(NOTCH2_LINES, style=style),
+            page_content_stream(["Page two here"], style=style),
+        ],
+        flate=True,
+        cid_font=(style == "cid"),
+        split_content=split,
+        objstm=objstm,
+    )
+    if split:
+        assert b"/Contents [" in pdf or objstm  # array refs present
+    if objstm:
+        assert pdf.startswith(b"%PDF-1.5") and b"/Type /ObjStm" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(NOTCH2_LINES), "Page two here"]
+
+
+def test_cid_bfchar_and_array_range():
+    """The bfchar entry (code 0x0001 → §) and the array-dst bfrange
+    (0x180-0x182 → A/B/C) both decode; unmapped codes become U+FFFD."""
+    pdf = build_pdf(
+        [page_content_stream(["see § 42"], style="cid")], cid_font=True
+    )
+    assert extract_pdf_pages(pdf) == ["see § 42"]
+    content = b"BT /F1 12 Tf 72 700 Td <018001810182FFFE> Tj ET"
+    pdf2 = build_pdf([content], cid_font=True)
+    assert extract_pdf_pages(pdf2) == ["ABC�"]
+
+
+def test_cid_without_tf_keeps_latin1():
+    """A show op before any Tf has no current font → frozen latin-1
+    byte semantics (backward compat with notch-0/1 fixtures)."""
+    content = b"BT 72 700 Td <48656C6C6F> Tj ET"
+    pdf = build_pdf([content], cid_font=True)
+    assert extract_pdf_pages(pdf) == ["Hello"]
+
+
+def test_notch2_errors_stay_pdferror():
+    import re
+
+    good = build_pdf(
+        [page_content_stream(NOTCH2_LINES, style="cid")],
+        cid_font=True, objstm=True, split_content=True,
+    )
+    with pytest.raises(PdfError, match="ObjStm missing"):
+        extract_pdf_pages(re.sub(rb"/N \d+", b"/Q 0", good))
+    with pytest.raises(PdfError, match="code width"):
+        # 5-byte CID string against a 2-byte codespace
+        extract_pdf_pages(
+            build_pdf([b"BT /F1 12 Tf 72 700 Td <0121012201> Tj ET"], cid_font=True)
+        )
+    with pytest.raises(PdfError, match="dangling ToUnicode"):
+        extract_pdf_pages(
+            re.sub(
+                rb"/ToUnicode \d+ 0 R",
+                b"/ToUnicode 999 0 R",
+                build_pdf([page_content_stream(["x y z"], style="cid")], cid_font=True),
+            )
+        )
+
+
+def test_contents_array_token_boundary():
+    """A /Contents array's parts are separate decode units joined at a
+    token boundary — text spanning the two parts reassembles."""
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages as ex
+
+    pdf = build_pdf(
+        [page_content_stream([f"line number {i:02d} padded out" for i in range(12)])],
+        split_content=True,
+    )
+    assert b"/Contents [" in pdf
+    assert ex(pdf) == ["\n".join(f"line number {i:02d} padded out" for i in range(12))]

@@ -86,10 +86,23 @@ def test_embed_centrality_caches_vectors(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
 
 
+def _assert_no_key_exchange(name: str, plan: str) -> None:
+    """Sinks are per-row projections: no KEY-based shuffle is allowed.
+    The one permitted Exchange is the deliberate round-robin input
+    split (``__spark_entry__._par``, round-4 q29 finding) that frees
+    compute-bound stages from single-row-group file layout — it moves
+    input bytes once and partitions by NOTHING, so hash/range
+    partitioning must still never appear."""
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, (name, line, plan)
+
+
 def test_sink_queries_are_shuffle_free(spark):
     """The artifact sinks (PDF/DOCX/PPTX-slides/raster-OCR/topic-route)
     are per-row projections — at 100 TB they must compile to
-    scan → project (+ explode) with ZERO Exchanges."""
+    scan → (round-robin split) → project (+ explode) with zero
+    key-based Exchanges."""
     import __spark_entry__ as E
 
     qs = E.queries()
@@ -101,18 +114,24 @@ def test_sink_queries_are_shuffle_free(spark):
         "q48_pptx_slides",
     ):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
-        assert "Exchange" not in plan, (name, plan)
+        _assert_no_key_exchange(name, plan)
 
 
 def test_new_sink_queries_are_shuffle_free(spark):
-    """Round-3 sinks: chart-part build (q50) and the image-placeholder
-    DOCX build (q51) are per-row projections — zero Exchanges."""
+    """Round-3/4 sinks: chart parts (q50), image-placeholder DOCX
+    (q51), and the PDF roundtrips (q55/q56) are per-row projections —
+    zero key-based Exchanges."""
     import __spark_entry__ as E
 
     qs = E.queries()
-    for name in ("q50_chart_xml", "q51_image_placeholder"):
+    for name in (
+        "q50_chart_xml",
+        "q51_image_placeholder",
+        "q55_pdf_widened_roundtrip",
+        "q56_pdf_notch2_roundtrip",
+    ):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
-        assert "Exchange" not in plan, (name, plan)
+        _assert_no_key_exchange(name, plan)
 
 
 def test_connected_components_round_plan_is_bounded(spark):
