@@ -787,6 +787,47 @@ def _q56_pdf_notch2_roundtrip(spark, sf):
     )
 
 
+def _q57_pdf_filter_chain_roundtrip(spark, sf):
+    """Round-4 notch-3 stream filters through REAL bytes: each doc's
+    text (printable-ASCII sanitized) as 1 page x 4 lines of 25 chars,
+    written with a TWO-FILTER chain — content flate-compressed then
+    ASCII85-armored (``/Filter [/ASCII85Decode /FlateDecode]``: reader
+    85-decodes first, then inflates) — plus a second doc variant with
+    ``/Filter /LZWDecode`` (EarlyChange=1 variable-width codes), both
+    parsed back by ``core/pdfparse.py``. The oracle recomputes expected
+    text with SQL string ops; a hash match proves both decode paths are
+    byte-faithful per doc. Reference parity: pdfminer/fitz accept these
+    legacy encodings routinely (``core_document_generator.py:122``)."""
+    d = _par(spark, _t(spark, sf, "documents"))
+
+    @F.pandas_udf("array<string>")
+    def filter_roundtrip(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+        from pdf_to_text_spark.core.pdfparse import extract_pdf_pages
+
+        def rt(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            lines = [s[i * 25 : (i + 1) * 25] for i in range(4)]
+            content = page_content_stream(lines)
+            a85 = build_pdf([content], filters=["ASCII85Decode", "FlateDecode"])
+            lzw = build_pdf([content], filters=["LZWDecode"])
+            return extract_pdf_pages(a85) + extract_pdf_pages(lzw)
+
+        return texts.map(rt)
+
+    return d.select(
+        "doc_id", F.posexplode(filter_roundtrip(F.col("text")))
+    ).select(
+        "doc_id",
+        F.when(F.col("pos") == 0, F.lit("a85_flate"))
+        .otherwise(F.lit("lzw"))
+        .alias("variant"),
+        F.col("col").alias("page_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -839,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_themed_slides": _q54_themed_slides,
         "q55_pdf_widened_roundtrip": _q55_pdf_widened_roundtrip,
         "q56_pdf_notch2_roundtrip": _q56_pdf_notch2_roundtrip,
+        "q57_pdf_filter_chain_roundtrip": _q57_pdf_filter_chain_roundtrip,
     }
 
 
@@ -1429,6 +1471,21 @@ union all
 select doc_id, 2 as page_no,
        substr(t, 91, 30) || chr(10) || substr(t, 121, 30) || chr(10)
        || substr(t, 151, 30) as page_text from s
+""",
+        "q57_pdf_filter_chain_roundtrip": """
+with s as (
+  select doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') as t
+  from documents
+),
+p as (
+  select doc_id,
+         substr(t, 1, 25) || chr(10) || substr(t, 26, 25) || chr(10)
+         || substr(t, 51, 25) || chr(10) || substr(t, 76, 25) as page_text
+  from s
+)
+select doc_id, 'a85_flate' as variant, page_text from p
+union all
+select doc_id, 'lzw' as variant, page_text from p
 """,
         "q29_raster_ocr": r"""
 with ls as (

@@ -94,6 +94,109 @@ def page_content_stream(
     return ("\n".join(ops)).encode("latin-1")
 
 
+def ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().upper().encode() + b">"
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data) - 3, 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        if v == 0:
+            out += b"z"
+            continue
+        grp = bytearray(5)
+        for k in range(4, -1, -1):
+            grp[k] = 33 + v % 85
+            v //= 85
+        out += grp
+    tail = len(data) % 4
+    if tail:
+        v = int.from_bytes(data[-tail:] + b"\x00" * (4 - tail), "big")
+        grp = bytearray(5)
+        for k in range(4, -1, -1):
+            grp[k] = 33 + v % 85
+            v //= 85
+        out += grp[: tail + 1]
+    return bytes(out) + b"~>"
+
+
+def rle_encode(data: bytes) -> bytes:
+    """PDF RunLengthDecode inverse: repeat runs ≥3 as (257-n, byte),
+    everything else as ≤128-byte literal chunks, EOD 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            chunk = data[j : min(j + 128, end)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += 128
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(n)
+    out.append(128)
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode inverse (EarlyChange=1): the width bumps when the
+    NEXT free code reaches 2^w - 1, matching the parser's decoder."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code >= (1 << width) - 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    out = bytearray()
+    bitbuf = bits = 0
+    for code, cw in codes:
+        bitbuf = (bitbuf << cw) | code
+        bits += cw
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+_FILTER_ENCODERS = {
+    "FlateDecode": zlib.compress,
+    "ASCIIHexDecode": ascii_hex_encode,
+    "ASCII85Decode": ascii85_encode,
+    "RunLengthDecode": rle_encode,
+    "LZWDecode": lzw_encode,
+}
+
+
 def cid_code(ch: str) -> int:
     """The synthetic CID encoding matching ``tounicode_cmap``: printable
     ASCII shifts by +0x100 (the CMap's bfrange undoes it), '§' maps via
@@ -130,7 +233,7 @@ def tounicode_cmap() -> bytes:
 def build_pdf(
     pages: list[bytes], *, flate: bool = False, filter_array: bool = False,
     nested: bool = False, cid_font: bool = False, split_content: bool = False,
-    objstm: bool = False,
+    objstm: bool = False, filters: list[str] | None = None,
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
@@ -150,6 +253,13 @@ def build_pdf(
     header to %PDF-1.5 — the classic xref table is retained for the
     top-level objects (hybrid-reference shape; our parser ignores xref
     and scans, as many repair-mode readers do).
+
+    Notch-3 knob: ``filters`` names an explicit decode chain in DECODE
+    order (e.g. ``["ASCII85Decode", "FlateDecode"]`` means the reader
+    85-decodes first, then inflates — so the writer compresses first,
+    then 85-encodes). Supported: FlateDecode, LZWDecode (EarlyChange=1),
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode. Overrides
+    ``flate``/``filter_array``.
     """
     flate = flate or filter_array
     objs: dict[int, bytes] = {}
@@ -177,11 +287,20 @@ def build_pdf(
     extra_content_base = font_num + 4
 
     def _stream_obj(content: bytes) -> bytes:
-        data = zlib.compress(content) if flate else content
-        filt = (
-            b" /Filter [/FlateDecode]" if filter_array
-            else (b" /Filter /FlateDecode" if flate else b"")
-        )
+        if filters:
+            data = content
+            for name in reversed(filters):  # encode inverse of decode order
+                data = _FILTER_ENCODERS[name](data)
+            names = " ".join(f"/{n}" for n in filters)
+            filt = (
+                f" /Filter [{names}]" if len(filters) > 1 else f" /Filter /{filters[0]}"
+            ).encode()
+        else:
+            data = zlib.compress(content) if flate else content
+            filt = (
+                b" /Filter [/FlateDecode]" if filter_array
+                else (b" /Filter /FlateDecode" if flate else b"")
+            )
         return (
             b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
             + data

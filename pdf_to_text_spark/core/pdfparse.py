@@ -87,6 +87,142 @@ def _filter_chain(head: bytes) -> list[bytes]:
     return _FILTER_NAME_RE.findall(fm.group(1))
 
 
+# ------------------------------------------------- stream filters (§7.4)
+
+_WS_SET = frozenset(b" \t\r\n\f\x00")
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """§7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, '>' is EOD,
+    odd length pads a zero nibble."""
+    eod = data.find(b">")
+    if eod != -1:
+        data = data[:eod]
+    hx = bytes(b for b in data if b not in _WS_SET)
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", hx):
+        raise PdfError("bad ASCIIHex data")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3 ASCII85Decode: base-85 groups of 5 chars → 4 bytes, 'z'
+    shorthand for a zero group, '~>' is EOD, partial final group legal."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    eod = data.find(b"~>")
+    if eod != -1:
+        data = data[:eod]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in _WS_SET:
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ascii85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise PdfError("bad ascii85 character")
+        group.append(b - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise PdfError("ascii85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("ascii85 trailing single character")
+        n = len(group)
+        group += [84] * (5 - n)
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode: length byte L — L<128 copies L+1 literal
+    bytes, L>128 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        L = data[i]
+        i += 1
+        if L == 128:
+            return bytes(out)
+        if L < 128:
+            if i + L + 1 > n:
+                raise PdfError("rle literal run overruns data")
+            out += data[i : i + L + 1]
+            i += L + 1
+        else:
+            if i >= n:
+                raise PdfError("rle repeat run overruns data")
+            out += data[i : i + 1] * (257 - L)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """§7.4.4 LZWDecode (EarlyChange=1, the default): MSB-first variable
+    width codes 9→12 bits, 256=clear table, 257=EOD; the width bumps one
+    code EARLY (when the next free code reaches 2^w - 1)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError("bad LZW start code")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfError("LZW code out of range")
+            out += entry
+            prev = entry
+            # EarlyChange=1, with the classic decoder lag: the decoder's
+            # table is one entry behind the encoder's at read time, so
+            # bump when next_code + 1 hits 2^w - 1
+            if next_code + 1 >= (1 << width) - 1 and width < 12:
+                width += 1
+    raise PdfError("LZW stream missing EOD")
+
+
+_FILTER_DECODERS = {
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"RunLengthDecode": _rle_decode,
+    b"LZWDecode": _lzw_decode,
+}
+
+
 def _stream_data(body: bytes) -> bytes:
     """Extract and decode the stream payload of an object body."""
     sm = re.search(rb"stream\r?\n", body)
@@ -98,12 +234,19 @@ def _stream_data(body: bytes) -> bytes:
         raise PdfError("stream missing /Length")
     start = sm.end()
     data = body[start : start + int(lm.group(1))]
-    for name in _filter_chain(head):
+    chain = _filter_chain(head)
+    if chain and b"/Predictor" in head:
+        # PNG/TIFF predictors only apply meaningfully to image data;
+        # honest subset boundary for content streams
+        raise PdfError("unsupported /DecodeParms predictor")
+    for name in chain:
         if name == b"FlateDecode":
             try:
                 data = zlib.decompress(data)
             except zlib.error as e:  # corrupt stream → row-level error
                 raise PdfError(f"flate decode failed: {e}") from e
+        elif name in _FILTER_DECODERS:
+            data = _FILTER_DECODERS[name](data)
         else:  # honest subset boundary: unknown filter = error column
             raise PdfError(f"unsupported stream filter /{name.decode('latin-1')}")
     return data

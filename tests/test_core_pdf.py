@@ -39,12 +39,16 @@ def test_hex_string_oddity_and_whitespace():
 def test_widened_errors_stay_pdferror():
     good = build_pdf([page_content_stream(LINES)], flate=True)
     # unsupported filter name → subset boundary, not a crash
+    # (LZW/ASCIIHex/ASCII85/RunLength graduated to supported in notch 3)
     with pytest.raises(PdfError, match="unsupported stream filter"):
-        extract_pdf_pages(good.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode"))
+        extract_pdf_pages(good.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode"))
     with pytest.raises(PdfError, match="unsupported stream filter"):
         extract_pdf_pages(
-            good.replace(b"/Filter /FlateDecode", b"/Filter [/ASCIIHexDecode /FlateDecode]")
+            good.replace(b"/Filter /FlateDecode", b"/Filter [/DCTDecode /FlateDecode]")
         )
+    # flate bytes fed to the (now real) LZW decoder: an error row, not a crash
+    with pytest.raises(PdfError):
+        extract_pdf_pages(good.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode"))
     # page-tree cycle and unterminated constructs → PdfError
     single = build_pdf([page_content_stream(LINES)])
     with pytest.raises(PdfError, match="cycle"):
@@ -172,3 +176,75 @@ def test_contents_array_token_boundary():
     )
     assert b"/Contents [" in pdf
     assert ex(pdf) == ["\n".join(f"line number {i:02d} padded out" for i in range(12))]
+
+
+# ------------------------------------------------------- round-4 notch 3
+
+FILTER_CHAINS = [
+    ["ASCIIHexDecode"],
+    ["ASCII85Decode"],
+    ["RunLengthDecode"],
+    ["LZWDecode"],
+    ["ASCII85Decode", "FlateDecode"],
+    ["RunLengthDecode", "LZWDecode"],
+]
+
+
+@pytest.mark.parametrize("filt", FILTER_CHAINS, ids=["+".join(f) for f in FILTER_CHAINS])
+def test_notch3_filter_chains_roundtrip(filt):
+    """ASCIIHex/ASCII85/RunLength/LZW decode — alone and chained with
+    FlateDecode/each other (decode order = listed order per §7.4)."""
+    pdf = build_pdf([page_content_stream(LINES)], filters=filt)
+    if len(filt) == 1:
+        assert f"/Filter /{filt[0]}".encode() in pdf
+    else:
+        assert b"/Filter [" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch3_codec_identity_property():
+    """Seeded property test: decode(encode(x)) == x for every codec,
+    over random and compressible payloads crossing the LZW 9→10→11→12
+    bit width boundaries and the 4096-entry table-freeze region."""
+    import random
+
+    from pdf_to_text_spark.core.pdfgen import (
+        ascii85_encode, ascii_hex_encode, lzw_encode, rle_encode,
+    )
+    from pdf_to_text_spark.core.pdfparse import (
+        _ascii85_decode, _ascii_hex_decode, _lzw_decode, _rle_decode,
+    )
+
+    rng = random.Random(20260817)
+    for _ in range(20):
+        n = rng.choice([0, 1, 5, 300, 5000, 60000])
+        data = (
+            bytes(rng.randrange(256) for _ in range(n))
+            if rng.random() < 0.5
+            else bytes(rng.choice(b"abcd\x00\xff") for _ in range(n))
+        )
+        assert _lzw_decode(lzw_encode(data)) == data
+        assert _ascii85_decode(ascii85_encode(data)) == data
+        assert _rle_decode(rle_encode(data)) == data
+        assert _ascii_hex_decode(ascii_hex_encode(data)) == data
+
+
+def test_notch3_filter_errors():
+    from pdf_to_text_spark.core.pdfparse import (
+        _ascii85_decode, _lzw_decode, _rle_decode,
+    )
+
+    with pytest.raises(PdfError, match="ascii85"):
+        _ascii85_decode(b"\x7f\x7f\x7f\x7f\x7f")  # > 'u', invalid
+    with pytest.raises(PdfError, match="overrun"):
+        _rle_decode(b"\x05ab")  # literal run longer than data
+    with pytest.raises(PdfError, match="EOD"):
+        _lzw_decode(b"\x80\x10")  # clear then truncation, no EOD
+    # predictor parms on a content stream are a disclosed boundary
+    good = build_pdf([page_content_stream(LINES)], flate=True)
+    bad = good.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
+    )
+    with pytest.raises(PdfError, match="predictor"):
+        extract_pdf_pages(bad)
