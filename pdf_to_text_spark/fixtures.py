@@ -49,6 +49,17 @@ ROW_CLASSES = [
     ("nonenglish", 4),
 ]
 
+# Round-4 widened-subset classes. NOT in the default mix on purpose: the
+# bench corpus and the scaling campaign's healthy bands are calibrated
+# against the default ROW_CLASSES — changing the default would silently
+# invalidate round-over-round throughput comparisons. Use --extended /
+# classes=ROW_CLASSES_EXTENDED for correctness coverage of the widened
+# parser surface.
+ROW_CLASSES_EXTENDED = ROW_CLASSES + [
+    ("pdf_modern", 6),          # notch 2: ObjStm + CID/ToUnicode + /Contents arrays
+    ("pdf_legacy_filters", 5),  # notch 3: LZW / ASCII85+Flate / RLE / ASCIIHex
+]
+
 
 def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
@@ -63,6 +74,41 @@ def _pdf_lines(rng: random.Random, n_lines: int) -> list[str]:
 
 
 def _make_pdf(rng: random.Random, cls: str) -> bytes:
+    if cls == "pdf_modern":
+        # PDF-1.5-shaped upload: object streams, Type0/Identity-H font
+        # with a ToUnicode CMap (2-byte CID hex show strings), content
+        # split across /Contents arrays, sometimes a nested page tree
+        n_pages = rng.randint(3, 6)
+        pages = [
+            page_content_stream(_pdf_lines(rng, rng.randint(20, 35)), style="cid")
+            for _ in range(n_pages)
+        ]
+        return build_pdf(
+            pages,
+            flate=True,
+            cid_font=True,
+            split_content=bool(rng.getrandbits(1)),
+            objstm=True,
+            nested=(n_pages >= 5),
+        )
+    if cls == "pdf_legacy_filters":
+        chain = rng.choice(
+            [
+                ["LZWDecode"],
+                ["ASCII85Decode", "FlateDecode"],
+                ["RunLengthDecode"],
+                ["ASCIIHexDecode"],
+                ["RunLengthDecode", "LZWDecode"],
+            ]
+        )
+        pages = [
+            page_content_stream(
+                _pdf_lines(rng, rng.randint(20, 35)),
+                style=rng.choice(["td", "tj_array"]),
+            )
+            for _ in range(rng.randint(3, 6))
+        ]
+        return build_pdf(pages, filters=chain)
     if cls == "pdf_sparse":
         # cover page (<250 meaningful chars) + an empty page + one real page
         pages = [
@@ -154,11 +200,11 @@ def oracle_extract(html: bytes | None, text: str | None) -> tuple[str | None, st
     return None, "unknown_format", "error", []
 
 
-def make_corpus(n_rows: int, seed: int = 42) -> list[dict]:
+def make_corpus(n_rows: int, seed: int = 42, classes: list | None = None) -> list[dict]:
     """Deterministic corpus. Row i's class cycles a weight-expanded list
     shuffled once by the seed, so every scale has every class."""
     rng = random.Random(seed)
-    weighted = [c for c, w in ROW_CLASSES for _ in range(w)]
+    weighted = [c for c, w in (classes or ROW_CLASSES) for _ in range(w)]
     rng.shuffle(weighted)
     rows = []
     for i in range(n_rows):
@@ -201,7 +247,13 @@ _PAGES_SCHEMA = pa.schema(
 )
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42, goldens: bool = True) -> dict:
+def write_corpus(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    goldens: bool = True,
+    classes: list | None = None,
+) -> dict:
     """Write pages.parquet (+ golden tables unless ``goldens=False`` —
     bench corpora skip the sequential oracle pass, which dominates
     generation time at scale); returns summary counts."""
@@ -209,7 +261,7 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, goldens: bool = True
     from collections import Counter
 
     os.makedirs(out_dir, exist_ok=True)
-    rows = make_corpus(n_rows, seed)
+    rows = make_corpus(n_rows, seed, classes=classes)
     pq.write_table(
         pa.Table.from_pylist(
             [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in rows],
@@ -256,5 +308,18 @@ if __name__ == "__main__":
     ap.add_argument("--out", required=True)
     ap.add_argument("--rows", type=int, default=120)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--extended",
+        action="store_true",
+        help="include the round-4 widened-subset PDF classes (ObjStm/CID/"
+        "legacy filters); off by default to keep bench corpora comparable",
+    )
     args = ap.parse_args()
-    print(write_corpus(args.out, args.rows, args.seed))
+    print(
+        write_corpus(
+            args.out,
+            args.rows,
+            args.seed,
+            classes=ROW_CLASSES_EXTENDED if args.extended else None,
+        )
+    )

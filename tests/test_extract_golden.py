@@ -68,3 +68,33 @@ def test_row_level_error_tolerance(pages_df):
     errs = out.filter(F.col("error").isNotNull())
     assert errs.count() > 0
     assert errs.filter(F.col("extracted_text").isNotNull()).count() == 0
+
+
+def test_extended_corpus_byte_identity(spark, tmp_path_factory):
+    """Golden byte-identity over the round-4 widened-subset classes
+    (pdf_modern: ObjStm + CID/ToUnicode + /Contents arrays + nested
+    trees; pdf_legacy_filters: LZW / ASCII85+Flate / RLE / ASCIIHex).
+    Separate corpus so the default bench mix stays comparable."""
+    from pdf_to_text_spark.fixtures import ROW_CLASSES_EXTENDED, write_corpus
+
+    d = tmp_path_factory.mktemp("corpus_ext")
+    counts = write_corpus(str(d), 130, seed=7, classes=ROW_CLASSES_EXTENDED)
+    assert counts.get("pdf_modern", 0) > 0 and counts.get("pdf_legacy_filters", 0) > 0
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    golden = spark.read.parquet(f"{d}/golden_extracted.parquet")
+    got = extract_documents(pages).select("url", "extracted_text", "error", "route")
+    j = got.alias("g").join(golden.alias("o"), "url", "full_outer")
+    diff = j.filter(
+        ~F.col("g.extracted_text").eqNullSafe(F.col("o.extracted_text"))
+        | ~F.col("g.error").eqNullSafe(F.col("o.error"))
+        | ~F.col("g.route").eqNullSafe(F.col("o.route"))
+    )
+    assert diff.count() == 0
+    assert got.count() == golden.count()
+    # the widened classes must actually extract (no silent error routing)
+    assert golden.filter(F.col("error").isNull()).count() > 0
+    # page-level identity too (covers multi-stream /Contents reassembly)
+    gp = spark.read.parquet(f"{d}/golden_pages.parquet")
+    gotp = extract_pdf_page_table(pages)
+    jp = gotp.alias("g").join(gp.alias("o"), ["url", "page_num"], "full_outer")
+    assert jp.filter(~F.col("g.page_text").eqNullSafe(F.col("o.page_text"))).count() == 0
