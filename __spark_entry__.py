@@ -828,6 +828,60 @@ def _q57_pdf_filter_chain_roundtrip(spark, sf):
     )
 
 
+def _q58_pdf_embedded_image(spark, sf):
+    """Round-4 notch-4, end-to-end through REAL bytes: each doc's text
+    drives a deterministic uniform-gray JPEG (dims and gray level are
+    functions of the sanitized text length; even gray + quality 50 ⇒
+    the quantized DC recovers the level EXACTLY, so pixel decode is
+    in-band for the oracle), embedded as a ``/Subtype /Image
+    /Filter /DCTDecode`` XObject in a PDF whose content stream is
+    flate+PNG-predictor encoded (``/DecodeParms /Predictor 12``) and
+    paints the image with a ``Do`` op. The engine then runs the REAL
+    extraction operator (``operators/multimodal.pdf_embedded_images``:
+    object scan → DCT payload → own JPEG codec → mean luma) — a hash
+    match proves generator→XObject→predictor→parser→codec is
+    byte-faithful per doc. The oracle recomputes dims + gray from
+    ``length()`` alone. Reference parity: fitz surfaces page pixmaps
+    but never embedded images (``core_document_processing.py:60-66``);
+    this is the Spark-first generalization."""
+    from pdf_to_text_spark.operators.multimodal import pdf_embedded_images
+
+    d = _par(spark, _t(spark, sf, "documents"))
+
+    @F.pandas_udf("binary")
+    def doc_pdf(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+
+        def mk(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            L = len(s)
+            g = 2 * (10 + L % 100)
+            w, h = 8 * (1 + L % 4), 8 * (1 + L % 3)
+            jpeg = encode_jpeg(w, h, 1, bytes([g]) * (w * h), quality=50)
+            content = (
+                page_content_stream([s[:30], s[30:60]])
+                + f"\nq {w} 0 0 {h} 72 600 cm /Im0 Do Q".encode()
+            )
+            return build_pdf(
+                [content], predictor=12, pred_columns=48, images=[(w, h, jpeg)]
+            )
+
+        return texts.map(mk)
+
+    pdfs = d.select(F.col("doc_id").cast("string").alias("doc_key"), doc_pdf("text").alias("pdf"))
+    out = pdf_embedded_images(pdfs, bin_col="pdf", id_col="doc_key")
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "image_no",
+        "width",
+        "height",
+        "mean_luma",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -881,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_pdf_widened_roundtrip": _q55_pdf_widened_roundtrip,
         "q56_pdf_notch2_roundtrip": _q56_pdf_notch2_roundtrip,
         "q57_pdf_filter_chain_roundtrip": _q57_pdf_filter_chain_roundtrip,
+        "q58_pdf_embedded_image": _q58_pdf_embedded_image,
     }
 
 
@@ -1486,6 +1541,18 @@ p as (
 select doc_id, 'a85_flate' as variant, page_text from p
 union all
 select doc_id, 'lzw' as variant, page_text from p
+""",
+        "q58_pdf_embedded_image": """
+with s as (
+  select doc_id,
+         length(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')) as L
+  from documents
+)
+select doc_id, 1 as image_no,
+       (8 * (1 + L % 4))::int as width,
+       (8 * (1 + L % 3))::int as height,
+       (2 * (10 + L % 100))::int as mean_luma
+from s
 """,
         "q29_raster_ocr": r"""
 with ls as (

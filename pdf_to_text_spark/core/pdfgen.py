@@ -230,10 +230,60 @@ def tounicode_cmap() -> bytes:
     )
 
 
+def png_predict(data: bytes, columns: int) -> bytes:
+    """Apply PNG row predictors (1 color, 8 bpc) for a /DecodeParms
+    ``/Predictor 15 /Columns columns`` stream: pads to a whole number of
+    rows with newlines (token-safe trailing whitespace in content
+    streams), then tags each row with a cycling filter type 0–4
+    (None/Sub/Up/Average/Paeth) — /Predictor ≥ 10 only declares "PNG";
+    the per-row tag is authoritative (PDF 32000 §7.4.4.4)."""
+    if len(data) % columns:
+        data += b"\n" * (columns - len(data) % columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for rs in range(0, len(data), columns):
+        row = data[rs : rs + columns]
+        ft = (rs // columns) % 5
+        out.append(ft)
+        for j in range(columns):
+            left = row[j - 1] if j >= 1 else 0
+            if ft == 0:
+                v = row[j]
+            elif ft == 1:
+                v = row[j] - left
+            elif ft == 2:
+                v = row[j] - prev[j]
+            elif ft == 3:
+                v = row[j] - (left + prev[j]) // 2
+            else:
+                c = prev[j - 1] if j >= 1 else 0
+                p = left + prev[j] - c
+                pa, pb, pc = abs(p - left), abs(p - prev[j]), abs(p - c)
+                pr = left if (pa <= pb and pa <= pc) else (prev[j] if pb <= pc else c)
+                v = row[j] - pr
+            out.append(v & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def tiff_predict(data: bytes, columns: int) -> bytes:
+    """Apply the TIFF horizontal-differencing predictor (/Predictor 2,
+    8-bit, 1 color): within each row, byte[i] -= byte[i-1]."""
+    if len(data) % columns:
+        data += b"\n" * (columns - len(data) % columns)
+    out = bytearray(data)
+    for rs in range(0, len(out), columns):
+        for i in range(rs + columns - 1, rs, -1):
+            out[i] = (out[i] - out[i - 1]) & 0xFF
+    return bytes(out)
+
+
 def build_pdf(
     pages: list[bytes], *, flate: bool = False, filter_array: bool = False,
     nested: bool = False, cid_font: bool = False, split_content: bool = False,
     objstm: bool = False, filters: list[str] | None = None,
+    predictor: int | None = None, pred_columns: int = 64,
+    images: list[tuple[int, int, bytes]] | None = None,
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
@@ -260,6 +310,16 @@ def build_pdf(
     then 85-encodes). Supported: FlateDecode, LZWDecode (EarlyChange=1),
     ASCIIHexDecode, ASCII85Decode, RunLengthDecode. Overrides
     ``flate``/``filter_array``.
+
+    Notch-4 knobs: ``predictor`` (2 = TIFF differencing, ≥10 = PNG row
+    filters; §7.4.4.4) pre-transforms every stream before its
+    compression filter and declares it via ``/DecodeParms``; attached to
+    the LAST filter in decode order when a chain is present (array form
+    with ``null`` placeholders). ``images`` embeds ``(width, height,
+    jpeg_bytes)`` tuples as ``/Subtype /Image`` XObjects with
+    ``/Filter /DCTDecode`` (§7.4.8), registered as ``/Im{i}`` in every
+    page's Resources — content streams may then paint them with
+    ``q w 0 0 h x y cm /Im{i} Do Q``.
     """
     flate = flate or filter_array
     objs: dict[int, bytes] = {}
@@ -285,8 +345,29 @@ def build_pdf(
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     tounicode_num = font_num + 3  # slots +1/+2 reserved for nested mids
     extra_content_base = font_num + 4
+    img_base = extra_content_base + len(pages) + 1  # after the ObjStm slot
+    xobj_entry = ""
+    if images:
+        refs = " ".join(f"/Im{i} {img_base + i} 0 R" for i in range(len(images)))
+        xobj_entry = f" /XObject << {refs} >>"
+        for i, (iw, ih, jpeg) in enumerate(images):
+            objs[img_base + i] = (
+                f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/Filter /DCTDecode /Length {len(jpeg)} >>".encode()
+                + b"\nstream\n" + jpeg + b"\nendstream"
+            )
 
     def _stream_obj(content: bytes) -> bytes:
+        parms = b""
+        if predictor:
+            content = (
+                tiff_predict(content, pred_columns) if predictor == 2
+                else png_predict(content, pred_columns)
+            )
+            pdict = (
+                f"<< /Predictor {predictor} /Columns {pred_columns} >>".encode()
+            )
         if filters:
             data = content
             for name in reversed(filters):  # encode inverse of decode order
@@ -295,14 +376,23 @@ def build_pdf(
             filt = (
                 f" /Filter [{names}]" if len(filters) > 1 else f" /Filter /{filters[0]}"
             ).encode()
+            if predictor:
+                # predictor attaches to the LAST filter in decode order
+                nulls = b" ".join([b"null"] * (len(filters) - 1))
+                parms = (
+                    b" /DecodeParms [" + (nulls + b" " if nulls else b"") + pdict + b"]"
+                    if len(filters) > 1 else b" /DecodeParms " + pdict
+                )
         else:
-            data = zlib.compress(content) if flate else content
+            data = zlib.compress(content) if (flate or predictor) else content
             filt = (
                 b" /Filter [/FlateDecode]" if filter_array
-                else (b" /Filter /FlateDecode" if flate else b"")
+                else (b" /Filter /FlateDecode" if (flate or predictor) else b"")
             )
+            if predictor:
+                parms = b" /DecodeParms " + pdict
         return (
-            b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
+            b"<< /Length " + str(len(data)).encode() + filt + parms + b" >>\nstream\n"
             + data
             + b"\nendstream"
         )
@@ -324,7 +414,8 @@ def build_pdf(
             contents_entry = f"/Contents {cnum} 0 R"
         objs[pnum] = (
             f"<< /Type /Page /Parent {parent_of(i)} 0 R /MediaBox [0 0 612 792] "
-            f"{contents_entry} /Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            f"{contents_entry} /Resources << /Font << /F1 {font_num} 0 R >>"
+            f"{xobj_entry} >> >>"
         ).encode()
         objs[cnum] = _stream_obj(parts[0])
     if cid_font:

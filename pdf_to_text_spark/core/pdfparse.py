@@ -223,8 +223,136 @@ _FILTER_DECODERS = {
 }
 
 
-def _stream_data(body: bytes) -> bytes:
-    """Extract and decode the stream payload of an object body."""
+# ------------------------------------------- predictors (§7.4.4.4)
+
+_INT_PARM_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(\d+)")
+    for k in (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent")
+}
+
+
+def _scan_dict(data: bytes, start: int) -> tuple[bytes, int]:
+    """Return (dict bytes incl. << >>, end index); ``start`` at '<<'."""
+    depth, i = 0, start
+    while i < len(data) - 1:
+        if data[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif data[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i], i
+        else:
+            i += 1
+    raise PdfError("unterminated dictionary")
+
+
+def _decode_parms(head: bytes, n_filters: int) -> list[dict | None]:
+    """Per-filter decode-parameter dicts from ``/DecodeParms`` (or the
+    ``/DP`` abbreviation) — scalar dict form applies to the single
+    filter; array form is index-aligned with the /Filter array, with
+    ``null`` entries for filters that take none (§7.3.8.2)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\b", head)
+    out: list[dict | None] = [None] * n_filters
+    if m is None:
+        return out
+    i = m.end()
+    while i < len(head) and head[i : i + 1] in b" \t\r\n":
+        i += 1
+    def parse_one(d: bytes) -> dict:
+        return {
+            k.decode(): int(r.search(d).group(1))
+            for k, r in _INT_PARM_RE.items()
+            if r.search(d)
+        }
+    if head[i : i + 2] == b"<<":
+        d, _ = _scan_dict(head, i)
+        if n_filters:
+            out[0] = parse_one(d)
+        return out
+    if head[i : i + 1] == b"[":
+        idx = 0
+        i += 1
+        while i < len(head) and idx < n_filters:
+            if head[i : i + 2] == b"<<":
+                d, i = _scan_dict(head, i)
+                out[idx] = parse_one(d)
+                idx += 1
+            elif head[i : i + 4] == b"null":
+                idx += 1
+                i += 4
+            elif head[i : i + 1] == b"]":
+                break
+            else:
+                i += 1
+    return out
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Reverse a TIFF (Predictor 2) or PNG (10–15) predictor applied
+    before the stream's compression filter (§7.4.4.4). PNG rows carry a
+    per-row filter tag (0–4: None/Sub/Up/Average/Paeth) regardless of
+    the declared predictor value; a short final row is tolerated (the
+    spec sizes data exactly, repair-mode readers don't insist)."""
+    pred = parms.get("Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            raise PdfError("TIFF predictor requires 8-bit components")
+        out = bytearray(data)
+        for rs in range(0, len(out), rowlen):
+            end = min(rs + rowlen, len(out))
+            for i in range(rs + bpp, end):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        out = bytearray()
+        prev = bytes(rowlen)
+        i = 0
+        while i < len(data):
+            ft = data[i]
+            row = bytearray(data[i + 1 : i + 1 + rowlen])
+            i += 1 + len(row)
+            if ft == 1:  # Sub
+                for j in range(bpp, len(row)):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for j in range(len(row)):
+                    row[j] = (row[j] + prev[j]) & 0xFF
+            elif ft == 3:  # Average
+                for j in range(len(row)):
+                    left = row[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for j in range(len(row)):
+                    left = row[j - bpp] if j >= bpp else 0
+                    c = prev[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + _paeth(left, prev[j], c)) & 0xFF
+            elif ft != 0:
+                raise PdfError(f"bad PNG predictor filter tag {ft}")
+            out += row
+            prev = bytes(row)
+        return bytes(out)
+    raise PdfError(f"unsupported predictor {pred}")
+
+
+def _raw_stream(body: bytes) -> tuple[bytes, bytes]:
+    """(dict head, undecoded stream payload) of an object body."""
     sm = re.search(rb"stream\r?\n", body)
     if sm is None:
         raise PdfError("contents object has no stream")
@@ -233,13 +361,18 @@ def _stream_data(body: bytes) -> bytes:
     if lm is None:
         raise PdfError("stream missing /Length")
     start = sm.end()
-    data = body[start : start + int(lm.group(1))]
-    chain = _filter_chain(head)
-    if chain and b"/Predictor" in head:
-        # PNG/TIFF predictors only apply meaningfully to image data;
-        # honest subset boundary for content streams
-        raise PdfError("unsupported /DecodeParms predictor")
-    for name in chain:
+    return head, body[start : start + int(lm.group(1))]
+
+
+def _apply_filters(
+    head: bytes, data: bytes, chain: list[bytes] | None = None
+) -> bytes:
+    """Run the declared decode chain (with per-filter predictors) over
+    a raw stream payload."""
+    if chain is None:
+        chain = _filter_chain(head)
+    parms = _decode_parms(head, len(chain))
+    for name, parm in zip(chain, parms):
         if name == b"FlateDecode":
             try:
                 data = zlib.decompress(data)
@@ -249,7 +382,15 @@ def _stream_data(body: bytes) -> bytes:
             data = _FILTER_DECODERS[name](data)
         else:  # honest subset boundary: unknown filter = error column
             raise PdfError(f"unsupported stream filter /{name.decode('latin-1')}")
+        if parm:
+            data = _unpredict(data, parm)
     return data
+
+
+def _stream_data(body: bytes) -> bytes:
+    """Extract and decode the stream payload of an object body."""
+    head, data = _raw_stream(body)
+    return _apply_filters(head, data)
 
 
 def _unescape(raw: bytes) -> bytes:
@@ -772,3 +913,72 @@ def extract_pdf_pages_safe(data: bytes) -> tuple[list[str] | None, str | None]:
         return None, str(e)
     except Exception as e:  # noqa: BLE001 — row-level tolerance by design
         return None, f"unexpected:{type(e).__name__}"
+
+
+_IMG_INT_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(\d+)")
+    for k in (b"Width", b"Height", b"BitsPerComponent")
+}
+_COLORSPACE_RE = re.compile(rb"/ColorSpace\s*/(\w+)")
+
+
+def extract_pdf_images(data: bytes) -> list[dict]:
+    """All ``/Subtype /Image`` XObjects in the document → list of
+    ``{"obj", "width", "height", "bpc", "colorspace", "codec", "data"}``
+    in object-number order.
+
+    ``/DCTDecode`` (embedded JPEG — the dominant real-world case, PDF
+    32000 §7.4.8) must be last in the chain; any preceding transport
+    filters (ASCII85/Hex) are applied and the JPEG bytes are returned
+    undecoded with ``codec='jpeg'`` — pixel decode belongs to the media
+    codec (``core/jpegcodec.py``), mirroring how the engine's other
+    media columns stay opaque bytes until a decode operator runs.
+    Fully-supported chains (Flate etc., with predictors) decode to raw
+    samples with ``codec='raw'``. Unsupported image codecs (JPXDecode,
+    JBIG2Decode, CCITTFaxDecode) raise ``PdfError`` — the honest
+    boundary, mapped to the row's error column by callers.
+
+    Reference parity: the reference rasterizes whole pages via fitz and
+    never extracts embedded images (``core_document_processing.py``);
+    this is the Spark-first generalization that feeds them to
+    ``operators/multimodal.py`` as first-class binary columns.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("not a PDF (magic bytes)")
+    objs = _parse_objects(data)
+    _expand_object_streams(objs)
+    out: list[dict] = []
+    for num in sorted(objs):
+        body = objs[num]
+        sm = re.search(rb"stream\r?\n", body)
+        head = body[: sm.start()] if sm else body
+        if b"/Image" not in head or not re.search(rb"/Subtype\s*/Image\b", head):
+            continue
+        meta = {
+            k.decode().lower(): int(r.search(head).group(1))
+            for k, r in _IMG_INT_RE.items()
+            if r.search(head)
+        }
+        if "width" not in meta or "height" not in meta:
+            raise PdfError(f"image object {num}: missing /Width or /Height")
+        cs = _COLORSPACE_RE.search(head)
+        chain = _filter_chain(head)
+        _, raw = _raw_stream(body)
+        if chain and chain[-1] == b"DCTDecode":
+            payload = _apply_filters(head, raw, chain=chain[:-1])
+            codec = "jpeg"
+        else:
+            payload = _apply_filters(head, raw, chain=chain)
+            codec = "raw"
+        out.append(
+            {
+                "obj": num,
+                "width": meta["width"],
+                "height": meta["height"],
+                "bpc": meta.get("bitspercomponent", 8),
+                "colorspace": cs.group(1).decode() if cs else "DeviceGray",
+                "codec": codec,
+                "data": payload,
+            }
+        )
+    return out

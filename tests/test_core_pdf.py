@@ -240,11 +240,99 @@ def test_notch3_filter_errors():
         _rle_decode(b"\x05ab")  # literal run longer than data
     with pytest.raises(PdfError, match="EOD"):
         _lzw_decode(b"\x80\x10")  # clear then truncation, no EOD
-    # predictor parms on a content stream are a disclosed boundary
+    # a DECLARED predictor over data that was never predictor-encoded is
+    # malformed: the first "row tag" byte of real content is ≥ 5
     good = build_pdf([page_content_stream(LINES)], flate=True)
     bad = good.replace(
         b"/Filter /FlateDecode",
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
     )
-    with pytest.raises(PdfError, match="predictor"):
+    with pytest.raises(PdfError, match="predictor|filter tag"):
         extract_pdf_pages(bad)
+
+
+# ------------------------------------------------- round-4 notch 4
+
+
+@pytest.mark.parametrize("pred", [2, 12, 15])
+def test_notch4_predictor_roundtrip(pred):
+    pdf = build_pdf([page_content_stream(LINES)], predictor=pred, pred_columns=37)
+    assert b"/DecodeParms" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch4_predictor_on_filter_chain():
+    # predictor attaches to the LAST filter in decode order; /DecodeParms
+    # array form with a null placeholder for the transport filter
+    pdf = build_pdf(
+        [page_content_stream(LINES)],
+        filters=["ASCII85Decode", "FlateDecode"],
+        predictor=12,
+        pred_columns=20,
+    )
+    assert b"/DecodeParms [null <<" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch4_predictor_codec_identity_property():
+    import random
+
+    from pdf_to_text_spark.core.pdfgen import png_predict, tiff_predict
+    from pdf_to_text_spark.core.pdfparse import _unpredict
+
+    rng = random.Random(20260817)
+    for _ in range(15):
+        n = rng.choice([1, 7, 64, 500, 4096])
+        cols = rng.choice([1, 3, 16, 64])
+        data = bytes(rng.randrange(256) for _ in range(n))
+        pad = b"\n" * (-n % cols)
+        assert (
+            _unpredict(png_predict(data, cols), {"Predictor": 12, "Columns": cols})
+            == data + pad
+        )
+        assert (
+            _unpredict(tiff_predict(data, cols), {"Predictor": 2, "Columns": cols})
+            == data + pad
+        )
+
+
+def test_notch4_image_xobjects():
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    g, w, h = 96, 24, 16  # even gray + quality 50 ⇒ exact DC recovery
+    jpeg = encode_jpeg(w, h, 1, bytes([g]) * (w * h), quality=50)
+    content = page_content_stream(LINES) + b"\nq 24 0 0 16 72 600 cm /Im0 Do Q"
+    pdf = build_pdf([content], flate=True, images=[(w, h, jpeg)])
+    # the Do/q/cm ops are invisible to text extraction
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 1
+    im = imgs[0]
+    assert (im["width"], im["height"], im["codec"], im["colorspace"]) == (
+        w, h, "jpeg", "DeviceGray",
+    )
+    dw, dh, ch, px = decode_jpeg(im["data"])
+    arr = np.frombuffer(px, np.uint8)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert arr.min() == arr.max() == g
+
+
+def test_notch4_image_errors():
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    jpeg = b"\xff\xd8fake"
+    pdf = build_pdf([page_content_stream(LINES)], images=[(8, 8, jpeg)])
+    # unsupported image codec is an honest boundary
+    bad = pdf.replace(b"/Filter /DCTDecode", b"/Filter /JPXDecode")
+    with pytest.raises(PdfError, match="JPXDecode"):
+        extract_pdf_images(bad)
+    # missing /Width is malformed
+    bad2 = pdf.replace(b"/Width 8 ", b"")
+    with pytest.raises(PdfError, match="Width"):
+        extract_pdf_images(bad2)
+    # non-PDF payload
+    with pytest.raises(PdfError, match="magic"):
+        extract_pdf_images(b"not a pdf")

@@ -173,3 +173,32 @@ def test_stream_windowed_counts_watermark_late_data(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(9, "a"): 1, (10, "a"): 3, (11, "b"): 2}, got
+
+
+def test_pdf_embedded_images_operator(spark):
+    """notch 4: /DCTDecode XObject extraction + own-codec decode through
+    the Arrow-batched operator, incl. row-level error tolerance."""
+    from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+    from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+    from pdf_to_text_spark.operators.multimodal import pdf_embedded_images
+
+    def doc(g, w, h):
+        jpeg = encode_jpeg(w, h, 1, bytes([g]) * (w * h), quality=50)
+        content = page_content_stream(["line one", "line two"]) + (
+            f"\nq {w} 0 0 {h} 72 600 cm /Im0 Do Q".encode()
+        )
+        return build_pdf([content], flate=True, images=[(w, h, jpeg)])
+
+    rows = [
+        ("u1", doc(64, 16, 8)),
+        ("u2", doc(200, 8, 24)),
+        ("u3", b"%PDF-1.4\ngarbage"),  # unparseable → error row
+        ("u4", build_pdf([page_content_stream(["no images here"])])),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in pdf_embedded_images(df).collect()}
+    assert got["u1"]["mean_luma"] == 64 and (got["u1"]["width"], got["u1"]["height"]) == (16, 8)
+    assert got["u2"]["mean_luma"] == 200 and got["u2"]["codec"] == "jpeg"
+    assert got["u3"]["image_no"] == 0 and got["u3"]["extract_error"]
+    assert "u4" not in got  # zero images → zero rows, no error row
+    assert len(got) == 3
