@@ -882,6 +882,52 @@ def _q58_pdf_embedded_image(spark, sf):
     )
 
 
+def _q59_pdf_encrypted_roundtrip(spark, sf):
+    """Round-4 notch-5, end-to-end through REAL bytes: each doc's text
+    (printable-ASCII sanitized) as 2 pages x 2 lines of 35 chars,
+    written as an RC4-ENCRYPTED PDF (Standard security handler, /V 2
+    /R 3 /Length 128, empty user password — the dominant real-world
+    shape for web-crawled "protected" documents) with flate content,
+    then decrypted + parsed back by ``core/pdfparse.py`` (independent
+    key derivations on the two sides — pdfgen re-implements §7.6.3.4
+    Algorithms 2/3/4/5, so a derivation bug cannot cancel). The oracle
+    recomputes expected page text with SQL string ops; a hash match
+    proves handler→RC4→parser is byte-faithful per doc. Reference
+    parity: fitz transparently opens empty-user-password uploads
+    (``core_document_generator.py:122``)."""
+    d = _par(spark, _t(spark, sf, "documents"))
+
+    @F.pandas_udf("array<string>")
+    def enc_roundtrip(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+        from pdf_to_text_spark.core.pdfparse import extract_pdf_pages
+
+        def rt(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            lines = [s[i * 35 : (i + 1) * 35] for i in range(4)]
+            pdf = build_pdf(
+                [
+                    page_content_stream(lines[:2]),
+                    page_content_stream(lines[2:]),
+                ],
+                flate=True,
+                encrypt=3,
+            )
+            return extract_pdf_pages(pdf)
+
+        return texts.map(rt)
+
+    return d.select(
+        "doc_id", F.posexplode(enc_roundtrip(F.col("text")))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("page_no"),
+        F.col("col").alias("page_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -936,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pdf_notch2_roundtrip": _q56_pdf_notch2_roundtrip,
         "q57_pdf_filter_chain_roundtrip": _q57_pdf_filter_chain_roundtrip,
         "q58_pdf_embedded_image": _q58_pdf_embedded_image,
+        "q59_pdf_encrypted_roundtrip": _q59_pdf_encrypted_roundtrip,
     }
 
 
@@ -1541,6 +1588,17 @@ p as (
 select doc_id, 'a85_flate' as variant, page_text from p
 union all
 select doc_id, 'lzw' as variant, page_text from p
+""",
+        "q59_pdf_encrypted_roundtrip": """
+with s as (
+  select doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') as t
+  from documents
+)
+select doc_id, 1 as page_no,
+       substr(t, 1, 35) || chr(10) || substr(t, 36, 35) as page_text from s
+union all
+select doc_id, 2 as page_no,
+       substr(t, 71, 35) || chr(10) || substr(t, 106, 35) as page_text from s
 """,
         "q58_pdf_embedded_image": """
 with s as (

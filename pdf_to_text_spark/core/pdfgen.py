@@ -9,6 +9,7 @@ synthetic documents — no external data.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 
@@ -278,12 +279,74 @@ def tiff_predict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+# §7.6.3.3 Table 21 padding constant (spec-fixed)
+_ENC_PAD = bytes(
+    [0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A]
+)
+
+
+def _rc4e(key: bytes, data: bytes) -> bytes:
+    # independent of pdfparse.rc4 on purpose: a shared implementation
+    # would let a key-schedule bug cancel out in roundtrip tests
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    a = b = 0
+    for k, c in enumerate(data):
+        a = (a + 1) & 0xFF
+        b = (b + S[a]) & 0xFF
+        S[a], S[b] = S[b], S[a]
+        out[k] = c ^ S[(S[a] + S[b]) & 0xFF]
+    return bytes(out)
+
+
+def std_handler_entries(
+    owner_pw: bytes, r: int, nbits: int, p: int, id0: bytes
+) -> tuple[bytes, bytes, bytes]:
+    """Standard security handler entries for an EMPTY user password:
+    (file_key, /O, /U) per PDF 32000 §7.6.3.4 Algorithms 3 (O), 2 (file
+    key) and 4/5 (U). Independent spec implementation (see _rc4e)."""
+    import hashlib
+
+    klen = nbits // 8
+    h = hashlib.md5((owner_pw + _ENC_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):  # Alg 3 step c: full 16-byte rehash
+            h = hashlib.md5(h).digest()
+    okey = h[:klen]
+    o = _rc4e(okey, _ENC_PAD)  # empty user password, padded
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4e(bytes(x ^ i for x in okey), o)
+    key = hashlib.md5(
+        _ENC_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):  # Alg 2 step f: first-klen-bytes rehash
+            key = hashlib.md5(key[:klen]).digest()
+    key = key[:klen]
+    if r == 2:
+        u = _rc4e(key, _ENC_PAD)
+    else:
+        u = _rc4e(key, hashlib.md5(_ENC_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4e(bytes(x ^ i for x in key), u)
+        u += bytes(16)  # /U padding, arbitrary per spec
+    return key, o, u
+
+
 def build_pdf(
     pages: list[bytes], *, flate: bool = False, filter_array: bool = False,
     nested: bool = False, cid_font: bool = False, split_content: bool = False,
     objstm: bool = False, filters: list[str] | None = None,
     predictor: int | None = None, pred_columns: int = 64,
     images: list[tuple[int, int, bytes]] | None = None,
+    encrypt: int | None = None, owner_pw: bytes = b"owner",
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
@@ -450,6 +513,48 @@ def build_pdf(
             + b"\nstream\n" + payload + b"\nendstream"
         )
 
+    trailer_extra = ""
+    if encrypt:
+        # notch 5: Standard security handler, RC4, empty user password —
+        # encrypt = revision (2 ⇒ /V 1 RC4-40, 3 ⇒ /V 2 RC4-128). Every
+        # stream payload is RC4'd with its per-object key (§7.6.2
+        # Algorithm 1); /Length is unchanged (RC4 preserves length).
+        import hashlib
+
+        r_ = encrypt
+        nbits = 40 if r_ == 2 else 128
+        klen = nbits // 8
+        p_ = -44  # print + copy denied: a typical permissions mask
+        id0 = hashlib.md5(
+            b"".join(objs[k][:64] for k in sorted(objs))
+        ).digest()
+        key, o_, u_ = std_handler_entries(owner_pw, r_, nbits, p_, id0)
+        for num in sorted(objs):
+            body = objs[num]
+            sm = body.find(b"\nstream\n")
+            if sm == -1:
+                continue
+            head = body[:sm]
+            lm = re.search(rb"/Length\s+(\d+)", head)
+            start = sm + len(b"\nstream\n")
+            ln = int(lm.group(1))
+            okey = hashlib.md5(
+                key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            ).digest()[: min(klen + 5, 16)]
+            objs[num] = (
+                body[:start]
+                + _rc4e(okey, body[start : start + ln])
+                + body[start + ln :]
+            )
+        enc_num = max(objs) + 1
+        objs[enc_num] = (
+            f"<< /Filter /Standard /V {1 if r_ == 2 else 2} /R {r_} "
+            f"/Length {nbits} /P {p_} /O <{o_.hex()}> /U <{u_.hex()}> >>"
+        ).encode()
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+        )
+
     out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -462,6 +567,7 @@ def build_pdf(
     for num in range(1, maxn + 1):
         out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {maxn + 1} /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF\n"
+        f"trailer\n<< /Size {maxn + 1} /Root 1 0 R{trailer_extra} >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -393,6 +393,191 @@ def _stream_data(body: bytes) -> bytes:
     return _apply_filters(head, data)
 
 
+# ------------------------- standard security handler (§7.6.3, RC4)
+
+# §7.6.3.3 Table 21 padding string (32 bytes, spec-fixed constant)
+_PAD = bytes(
+    [0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A]
+)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f \r\n]*)>")
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (symmetric; public algorithm). Pure python is fine at
+    this layer: encrypted streams are decrypted once per object inside
+    an Arrow-batched task, and the KSA/PRGA cost is linear and small
+    next to inflate + text interpretation."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pw_pad(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def std_security_key(
+    o_entry: bytes, p: int, id0: bytes, r: int, key_len: int, user_pw: bytes = b""
+) -> bytes:
+    """§7.6.3.3 Algorithm 2: the file encryption key from the (empty by
+    default) user password."""
+    import hashlib
+
+    h = hashlib.md5(
+        _pw_pad(user_pw) + o_entry[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_len]).digest()
+    return h[:key_len]
+
+
+def _compute_u(key: bytes, id0: bytes, r: int) -> bytes:
+    """§7.6.3.4 Algorithm 4 (R2) / 5 (R3+): the expected /U entry for a
+    given key — used to VERIFY the empty user password."""
+    import hashlib
+
+    if r == 2:
+        return rc4(key, _PAD)
+    h = hashlib.md5(_PAD + id0).digest()
+    u = rc4(key, h)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in key), u)
+    return u  # first 16 bytes significant; /U pads to 32 arbitrarily
+
+
+def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """§7.6.2 Algorithm 1: per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _int_entry(head: bytes, name: bytes, default: int | None = None) -> int:
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)", head)
+    if m is None:
+        if default is None:
+            raise PdfError(f"encrypt dict missing /{name.decode()}")
+        return default
+    return int(m.group(1))
+
+
+def _str_entry(body: bytes, name: bytes) -> bytes:
+    """A string entry (/O or /U) in literal or hex form."""
+    m = re.search(rb"/" + name + rb"\s*(\(|<)", body)
+    if m is None:
+        raise PdfError(f"encrypt dict missing /{name.decode()}")
+    if m.group(1) == b"<":
+        hm = _HEXSTR_RE.match(body, m.end() - 1)
+        if hm is None:
+            raise PdfError(f"bad hex string for /{name.decode()}")
+        hx = re.sub(rb"\s", b"", hm.group(1))
+        return bytes.fromhex(hx.decode("ascii"))
+    # literal string with PDF escapes
+    i = m.end()
+    depth, out = 1, bytearray()
+    while i < len(body) and depth:
+        c = body[i]
+        if c == 0x5C and i + 1 < len(body):  # backslash escape
+            nxt = body[i + 1]
+            esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                   0x28: 40, 0x29: 41, 0x5C: 92}
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal
+                oct_s = body[i + 1 : i + 4]
+                k = 1
+                while k < 3 and k < len(oct_s) and 0x30 <= oct_s[k] <= 0x37:
+                    k += 1
+                out.append(int(oct_s[:k], 8) & 0xFF)
+                i += 1 + k
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                break
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
+    """If the trailer names an /Encrypt dictionary, verify the EMPTY
+    user password against /U and RC4-decrypt every top-level stream
+    payload in place (§7.6.2; objects inside object streams are NOT
+    re-encrypted — the container stream was). Supported: the Standard
+    security handler, /V 1 (RC4-40) and /V 2 (RC4, /Length up to 128).
+    Password-protected documents (empty user password fails /U) and
+    /V 4+ (AES) raise PdfError — the honest boundary, mapped to the
+    error column. Reference parity: fitz transparently opens
+    empty-user-password files (``core_document_generator.py:122``);
+    password prompts are out of scope there too."""
+    em = _ENCRYPT_REF_RE.search(data)
+    if em is None:
+        return
+    enc_num = int(em.group(1))
+    enc = objs.get(enc_num)
+    if enc is None:
+        raise PdfError("trailer /Encrypt references a missing object")
+    if b"/Standard" not in enc:
+        raise PdfError("unsupported security handler")
+    v = _int_entry(enc, b"V", 0)
+    r = _int_entry(enc, b"R")
+    if v not in (1, 2):
+        raise PdfError(f"unsupported encryption /V {v} (AES)")
+    key_len = _int_entry(enc, b"Length", 40) // 8
+    o_entry = _str_entry(enc, b"O")
+    p = _int_entry(enc, b"P")
+    idm = _ID_RE.search(data)
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    key = std_security_key(o_entry, p, id0, r, key_len)
+    u_entry = _str_entry(enc, b"U")
+    expect = _compute_u(key, id0, r)
+    sig = 32 if r == 2 else 16
+    if u_entry[:sig] != expect[:sig]:
+        raise PdfError("encrypted document requires a user password")
+    for num, body in objs.items():
+        if num == enc_num:
+            continue
+        sm = re.search(rb"stream\r?\n", body)
+        if sm is None:
+            continue
+        head = body[: sm.start()]
+        lm = _LENGTH_RE.search(head)
+        if lm is None:
+            continue
+        start, ln = sm.end(), int(lm.group(1))
+        payload = body[start : start + ln]
+        objs[num] = (
+            body[:start] + rc4(_object_key(key, num), payload) + body[start + ln :]
+        )
+
+
 def _unescape(raw: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(raw)
@@ -860,6 +1045,7 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (magic bytes)")
     objs = _parse_objects(data)
+    _decrypt_in_place(data, objs)
     _expand_object_streams(objs)
     # root: the Catalog's /Pages ref; fallback to the first /Type /Pages
     # object for catalog-less fragments
@@ -946,6 +1132,7 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (magic bytes)")
     objs = _parse_objects(data)
+    _decrypt_in_place(data, objs)
     _expand_object_streams(objs)
     out: list[dict] = []
     for num in sorted(objs):

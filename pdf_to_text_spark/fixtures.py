@@ -58,6 +58,8 @@ ROW_CLASSES = [
 ROW_CLASSES_EXTENDED = ROW_CLASSES + [
     ("pdf_modern", 6),          # notch 2: ObjStm + CID/ToUnicode + /Contents arrays
     ("pdf_legacy_filters", 5),  # notch 3: LZW / ASCII85+Flate / RLE / ASCIIHex
+    ("pdf_predictor", 3),       # notch 4: TIFF/PNG predictors on flate content
+    ("pdf_encrypted", 4),       # notch 5: RC4 Standard handler, empty user pw
 ]
 
 
@@ -90,6 +92,22 @@ def _make_pdf(rng: random.Random, cls: str) -> bytes:
             split_content=bool(rng.getrandbits(1)),
             objstm=True,
             nested=(n_pages >= 5),
+        )
+    if cls == "pdf_predictor":
+        pred = rng.choice([2, 12, 15])
+        pages = [
+            page_content_stream(_pdf_lines(rng, rng.randint(20, 35)))
+            for _ in range(rng.randint(3, 5))
+        ]
+        return build_pdf(pages, predictor=pred, pred_columns=rng.choice([24, 48, 64]))
+    if cls == "pdf_encrypted":
+        r = rng.choice([2, 3])
+        pages = [
+            page_content_stream(_pdf_lines(rng, rng.randint(20, 35)))
+            for _ in range(rng.randint(3, 6))
+        ]
+        return build_pdf(
+            pages, flate=True, encrypt=r, objstm=(r == 3 and bool(rng.getrandbits(1)))
         )
     if cls == "pdf_legacy_filters":
         chain = rng.choice(

@@ -336,3 +336,81 @@ def test_notch4_image_errors():
     # non-PDF payload
     with pytest.raises(PdfError, match="magic"):
         extract_pdf_images(b"not a pdf")
+
+
+# ------------------------------------------------- round-4 notch 5
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_notch5_encrypted_roundtrip(r):
+    """Standard security handler (RC4-40 R2 / RC4-128 R3), empty user
+    password: generator and parser derive keys INDEPENDENTLY (pdfgen
+    re-implements Algorithms 2/3/4/5), so a derivation bug cannot
+    cancel out."""
+    pdf = build_pdf([page_content_stream(LINES)], flate=True, encrypt=r)
+    assert b"/Encrypt" in pdf and b"/Standard" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+    # ciphertext really differs from plaintext (the stream is not a no-op)
+    clear = build_pdf([page_content_stream(LINES)], flate=True)
+    assert pdf != clear
+
+
+def test_notch5_encrypted_composes_with_all_notches():
+    # encrypted + ObjStm + CID font + split contents + nested tree
+    pages = [page_content_stream(LINES, style="cid") for _ in range(5)]
+    pdf = build_pdf(
+        pages, flate=True, cid_font=True, split_content=True, objstm=True,
+        nested=True, encrypt=3,
+    )
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)] * 5
+
+
+def test_notch5_encrypted_image_xobject():
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    g, w, h = 72, 16, 8
+    jpeg = encode_jpeg(w, h, 1, bytes([g]) * (w * h), quality=50)
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, images=[(w, h, jpeg)],
+        encrypt=2,
+    )
+    im = extract_pdf_images(pdf)[0]
+    _, _, _, px = decode_jpeg(im["data"])
+    assert np.frombuffer(px, np.uint8).mean() == g
+
+
+def test_notch5_boundaries():
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
+
+    pdf = build_pdf([page_content_stream(LINES)], flate=True, encrypt=3)
+    # a real user password (≠ empty) fails /U verification honestly
+    bad_u = pdf.replace(b"/U <", b"/U <ffff")
+    pages, err = extract_pdf_pages_safe(bad_u)
+    assert pages is None and "password" in err
+    # AES (/V 4+) is a disclosed boundary
+    v4 = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    pages, err = extract_pdf_pages_safe(v4)
+    assert pages is None and "AES" in err
+    # non-Standard handlers are a disclosed boundary
+    h = pdf.replace(b"/Filter /Standard", b"/Filter /Custom")
+    pages, err = extract_pdf_pages_safe(h)
+    assert pages is None and "handler" in err
+
+
+def test_notch5_key_derivation_identity():
+    """Cross-check the two independent derivations: pdfgen's
+    std_handler_entries vs pdfparse's std_security_key/_compute_u must
+    agree on the file key and /U for the same inputs."""
+    from pdf_to_text_spark.core.pdfgen import std_handler_entries
+    from pdf_to_text_spark.core.pdfparse import _compute_u, std_security_key
+
+    for r, nbits in ((2, 40), (3, 128)):
+        id0 = bytes(range(16))
+        key, o, u = std_handler_entries(b"owner", r, nbits, -44, id0)
+        key2 = std_security_key(o, -44, id0, r, nbits // 8)
+        assert key2 == key
+        sig = 32 if r == 2 else 16
+        assert _compute_u(key2, id0, r)[:sig] == u[:sig]

@@ -73,13 +73,16 @@ def test_row_level_error_tolerance(pages_df):
 def test_extended_corpus_byte_identity(spark, tmp_path_factory):
     """Golden byte-identity over the round-4 widened-subset classes
     (pdf_modern: ObjStm + CID/ToUnicode + /Contents arrays + nested
-    trees; pdf_legacy_filters: LZW / ASCII85+Flate / RLE / ASCIIHex).
-    Separate corpus so the default bench mix stays comparable."""
+    trees; pdf_legacy_filters: LZW / ASCII85+Flate / RLE / ASCIIHex;
+    pdf_predictor: TIFF/PNG predictors; pdf_encrypted: RC4 Standard
+    handler). Separate corpus so the default bench mix stays
+    comparable."""
     from pdf_to_text_spark.fixtures import ROW_CLASSES_EXTENDED, write_corpus
 
     d = tmp_path_factory.mktemp("corpus_ext")
-    counts = write_corpus(str(d), 130, seed=7, classes=ROW_CLASSES_EXTENDED)
-    assert counts.get("pdf_modern", 0) > 0 and counts.get("pdf_legacy_filters", 0) > 0
+    counts = write_corpus(str(d), 140, seed=7, classes=ROW_CLASSES_EXTENDED)
+    for cls in ("pdf_modern", "pdf_legacy_filters", "pdf_predictor", "pdf_encrypted"):
+        assert counts.get(cls, 0) > 0, cls
     pages = spark.read.parquet(f"{d}/pages.parquet")
     golden = spark.read.parquet(f"{d}/golden_extracted.parquet")
     got = extract_documents(pages).select("url", "extracted_text", "error", "route")
