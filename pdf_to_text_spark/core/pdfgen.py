@@ -347,6 +347,7 @@ def build_pdf(
     predictor: int | None = None, pred_columns: int = 64,
     images: list[tuple[int, int, bytes]] | None = None,
     encrypt: int | None = None, owner_pw: bytes = b"owner",
+    xref_stream: bool = False,
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
@@ -555,19 +556,83 @@ def build_pdf(
             f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
         )
 
-    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
+    out = bytearray(b"%PDF-1.5\n" if (objstm or xref_stream) else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
     xref_off = len(out)
     maxn = max(objs)
+    if xref_stream:
+        # notch 6: a cross-reference STREAM (§7.5.8) replaces the classic
+        # table entirely — trailer entries live in the stream dict, rows
+        # are /W [1 4 2] binary tuples (type, offset, gen), and the data
+        # is flate+PNG-predictor-12 encoded, the shape real writers emit.
+        # XRef streams are never encrypted (§7.5.8.2), matching the
+        # post-`encrypt` construction point here.
+        xnum = maxn + 1
+        rows = bytearray()
+        rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for num in range(1, xnum):
+            rows += (
+                b"\x01" + offsets.get(num, 0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+            )
+        rows += b"\x01" + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        data = zlib.compress(png_predict(bytes(rows), 7))
+        out += (
+            f"{xnum} 0 obj\n<< /Type /XRef /Size {xnum + 1} /W [1 4 2] "
+            f"/Index [0 {xnum + 1}] /Root 1 0 R{trailer_extra} "
+            f"/Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+            f"/Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+        out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+        return bytes(out)
     out += f"xref\n0 {maxn + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for num in range(1, maxn + 1):
         out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
     out += (
         f"trailer\n<< /Size {maxn + 1} /Root 1 0 R{trailer_extra} >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def content_stream_obj(content: bytes, *, flate: bool = False) -> bytes:
+    """A standalone content-stream object body (for incremental
+    updates): ``<< /Length n [/Filter] >> stream ... endstream``."""
+    data = zlib.compress(content) if flate else content
+    filt = b" /Filter /FlateDecode" if flate else b""
+    return (
+        b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
+        + data + b"\nendstream"
+    )
+
+
+def append_incremental(pdf: bytes, updates: dict[int, bytes]) -> bytes:
+    """Append an incremental-update section (§7.5.6): replacement object
+    bodies, an update xref subsection per object, and a trailer with
+    /Prev pointing at the previous startxref. Readers must honor the
+    LATEST definition of each object — the semantics a repair-mode
+    object scan gets for free by letting later definitions win."""
+    m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", pdf)
+    prev = int(m.group(1)) if m else 0
+    sm = re.search(rb"/Size\s+(\d+)", pdf)
+    size = int(sm.group(1)) if sm else (max(updates) + 1)
+    out = bytearray(pdf)
+    offsets: dict[int, int] = {}
+    for num in sorted(updates):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + updates[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n"
+    for num in sorted(offsets):
+        out += f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /Prev {prev} >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -60,6 +60,7 @@ ROW_CLASSES_EXTENDED = ROW_CLASSES + [
     ("pdf_legacy_filters", 5),  # notch 3: LZW / ASCII85+Flate / RLE / ASCIIHex
     ("pdf_predictor", 3),       # notch 4: TIFF/PNG predictors on flate content
     ("pdf_encrypted", 4),       # notch 5: RC4 Standard handler, empty user pw
+    ("pdf_15_pure", 3),         # notch 6: xref stream + ObjStm, sometimes updated
 ]
 
 
@@ -109,6 +110,24 @@ def _make_pdf(rng: random.Random, cls: str) -> bytes:
         return build_pdf(
             pages, flate=True, encrypt=r, objstm=(r == 3 and bool(rng.getrandbits(1)))
         )
+    if cls == "pdf_15_pure":
+        from pdf_to_text_spark.core.pdfgen import append_incremental, content_stream_obj
+
+        pages = [
+            page_content_stream(_pdf_lines(rng, rng.randint(20, 35)))
+            for _ in range(rng.randint(2, 4))
+        ]
+        pdf = build_pdf(pages, flate=True, objstm=True, xref_stream=True)
+        if rng.getrandbits(1):
+            # replace page 1's content via an incremental update
+            pdf = append_incremental(
+                pdf,
+                {4: content_stream_obj(
+                    page_content_stream(_pdf_lines(rng, rng.randint(10, 20))),
+                    flate=True,
+                )},
+            )
+        return pdf
     if cls == "pdf_legacy_filters":
         chain = rng.choice(
             [

@@ -414,3 +414,60 @@ def test_notch5_key_derivation_identity():
         assert key2 == key
         sig = 32 if r == 2 else 16
         assert _compute_u(key2, id0, r)[:sig] == u[:sig]
+
+
+# ------------------------------------------------- round-4 notch 6
+
+
+def test_notch6_xref_stream_pure_15():
+    """A pure PDF-1.5 file: ObjStm + cross-reference STREAM (§7.5.8),
+    no classic table or trailer keyword anywhere; trailer entries live
+    in the XRef stream dict, rows are /W [1 4 2] binary tuples under
+    flate + PNG predictor 12 (the shape real writers emit)."""
+    from pdf_to_text_spark.core.pdfgen import png_predict
+    from pdf_to_text_spark.core.pdfparse import _unpredict
+    import zlib
+
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, objstm=True, xref_stream=True
+    )
+    assert b"trailer" not in pdf and b"/Type /XRef" in pdf
+    assert pdf.startswith(b"%PDF-1.5")
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+    # the XRef stream rows are real: decode them and check the row count
+    import re
+
+    m = re.search(
+        rb"/Type /XRef /Size (\d+).*?/Length (\d+) >>\nstream\n", pdf, re.S
+    )
+    start = m.end()
+    raw = zlib.decompress(pdf[start : start + int(m.group(2))])
+    rows = _unpredict(raw, {"Predictor": 12, "Columns": 7})
+    assert len(rows) % 7 == 0 and len(rows) // 7 == int(m.group(1))
+
+
+def test_notch6_xref_stream_with_encryption():
+    # §7.5.8.2: the XRef stream itself is never encrypted
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, encrypt=3, xref_stream=True
+    )
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch6_incremental_updates_latest_wins():
+    """§7.5.6 incremental updates: appended sections redefine objects;
+    the LATEST definition is authoritative (also how Acrobat renders a
+    saved-over file). Chained twice to pin transitivity."""
+    from pdf_to_text_spark.core.pdfgen import append_incremental, content_stream_obj
+
+    base = build_pdf([page_content_stream(["original text page"])], flate=True)
+    v2 = append_incremental(
+        base, {4: content_stream_obj(page_content_stream(LINES), flate=True)}
+    )
+    v3 = append_incremental(
+        v2, {4: content_stream_obj(page_content_stream(["third revision"]))}
+    )
+    assert extract_pdf_pages(base) == ["original text page"]
+    assert extract_pdf_pages(v2) == ["\n".join(LINES)]
+    assert extract_pdf_pages(v3) == ["third revision"]
+    assert v2.count(b"/Prev") == 1 and v3.count(b"/Prev") == 2

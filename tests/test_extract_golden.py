@@ -80,8 +80,11 @@ def test_extended_corpus_byte_identity(spark, tmp_path_factory):
     from pdf_to_text_spark.fixtures import ROW_CLASSES_EXTENDED, write_corpus
 
     d = tmp_path_factory.mktemp("corpus_ext")
-    counts = write_corpus(str(d), 140, seed=7, classes=ROW_CLASSES_EXTENDED)
-    for cls in ("pdf_modern", "pdf_legacy_filters", "pdf_predictor", "pdf_encrypted"):
+    counts = write_corpus(str(d), 150, seed=7, classes=ROW_CLASSES_EXTENDED)
+    for cls in (
+        "pdf_modern", "pdf_legacy_filters", "pdf_predictor", "pdf_encrypted",
+        "pdf_15_pure",
+    ):
         assert counts.get(cls, 0) > 0, cls
     pages = spark.read.parquet(f"{d}/pages.parquet")
     golden = spark.read.parquet(f"{d}/golden_extracted.parquet")
