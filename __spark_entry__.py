@@ -979,6 +979,44 @@ def _q60_pdf_modern_structure_roundtrip(spark, sf):
     )
 
 
+def _q61_pdf_aes_roundtrip(spark, sf):
+    """Round-4 notch-7, end-to-end through REAL bytes: each doc's text
+    (printable-ASCII sanitized) as 1 page x 3 lines of 30 chars,
+    written as an AES-ENCRYPTED PDF — /V 4 crypt filters, /CFM /AESV2
+    (AES-128-CBC, FIPS-197 core pinned to the appendix vectors),
+    IV-prefixed payloads, per-object sAlT keys, empty user password —
+    then decrypted + parsed back by ``core/pdfparse.py``. CBC
+    decryption is numpy-vectorized (ECB-decrypt all blocks, XOR the
+    shifted ciphertext), so the per-row cost stays inflate-dominated.
+    The oracle recomputes expected text with SQL string ops. Reference
+    parity: fitz opens AES empty-user-password uploads transparently
+    (``core_document_generator.py:122``)."""
+    d = _par(spark, _t(spark, sf, "documents"))
+
+    @F.pandas_udf("array<string>")
+    def aes_roundtrip(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+        from pdf_to_text_spark.core.pdfparse import extract_pdf_pages
+
+        def rt(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            lines = [s[i * 30 : (i + 1) * 30] for i in range(3)]
+            pdf = build_pdf([page_content_stream(lines)], flate=True, encrypt=4)
+            return extract_pdf_pages(pdf)
+
+        return texts.map(rt)
+
+    return d.select(
+        "doc_id", F.posexplode(aes_roundtrip(F.col("text")))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("page_no"),
+        F.col("col").alias("page_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -1035,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_pdf_embedded_image": _q58_pdf_embedded_image,
         "q59_pdf_encrypted_roundtrip": _q59_pdf_encrypted_roundtrip,
         "q60_pdf_modern_structure_roundtrip": _q60_pdf_modern_structure_roundtrip,
+        "q61_pdf_aes_roundtrip": _q61_pdf_aes_roundtrip,
     }
 
 
@@ -1640,6 +1679,16 @@ p as (
 select doc_id, 'a85_flate' as variant, page_text from p
 union all
 select doc_id, 'lzw' as variant, page_text from p
+""",
+        "q61_pdf_aes_roundtrip": """
+with s as (
+  select doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') as t
+  from documents
+)
+select doc_id, 1 as page_no,
+       substr(t, 1, 30) || chr(10) || substr(t, 31, 30) || chr(10)
+       || substr(t, 61, 30) as page_text
+from s
 """,
         "q60_pdf_modern_structure_roundtrip": """
 with s as (

@@ -516,10 +516,12 @@ def build_pdf(
 
     trailer_extra = ""
     if encrypt:
-        # notch 5: Standard security handler, RC4, empty user password —
-        # encrypt = revision (2 ⇒ /V 1 RC4-40, 3 ⇒ /V 2 RC4-128). Every
-        # stream payload is RC4'd with its per-object key (§7.6.2
-        # Algorithm 1); /Length is unchanged (RC4 preserves length).
+        # notches 5+7: Standard security handler, empty user password —
+        # encrypt = revision: 2 ⇒ /V 1 RC4-40, 3 ⇒ /V 2 RC4-128,
+        # 4 ⇒ /V 4 crypt filters with /CFM /AESV2 (AES-128-CBC,
+        # IV-prefixed payload, PKCS#7-style padding; /Length refers to
+        # the ENCRYPTED byte count). RC4 preserves stream length; AES
+        # does not, so its post-pass rewrites /Length.
         import hashlib
 
         r_ = encrypt
@@ -539,19 +541,42 @@ def build_pdf(
             lm = re.search(rb"/Length\s+(\d+)", head)
             start = sm + len(b"\nstream\n")
             ln = int(lm.group(1))
+            salt = b"sAlT" if r_ == 4 else b""
             okey = hashlib.md5(
-                key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+                key + num.to_bytes(3, "little") + (0).to_bytes(2, "little") + salt
             ).digest()[: min(klen + 5, 16)]
-            objs[num] = (
-                body[:start]
-                + _rc4e(okey, body[start : start + ln])
-                + body[start + ln :]
-            )
+            if r_ == 4:
+                from pdf_to_text_spark.core.aescipher import cbc_encrypt
+
+                iv = hashlib.md5(b"iv" + num.to_bytes(3, "little") + id0).digest()
+                enc_payload = iv + cbc_encrypt(okey, iv, body[start : start + ln])
+                head = re.sub(
+                    rb"/Length\s+\d+",
+                    b"/Length " + str(len(enc_payload)).encode(),
+                    head, count=1,
+                )
+                objs[num] = (
+                    head + b"\nstream\n" + enc_payload + body[start + ln :]
+                )
+            else:
+                objs[num] = (
+                    body[:start]
+                    + _rc4e(okey, body[start : start + ln])
+                    + body[start + ln :]
+                )
         enc_num = max(objs) + 1
-        objs[enc_num] = (
-            f"<< /Filter /Standard /V {1 if r_ == 2 else 2} /R {r_} "
-            f"/Length {nbits} /P {p_} /O <{o_.hex()}> /U <{u_.hex()}> >>"
-        ).encode()
+        if r_ == 4:
+            objs[enc_num] = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length {nbits} /P {p_} "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                f"/Length {nbits // 8} >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_.hex()}> /U <{u_.hex()}> >>"
+            ).encode()
+        else:
+            objs[enc_num] = (
+                f"<< /Filter /Standard /V {1 if r_ == 2 else 2} /R {r_} "
+                f"/Length {nbits} /P {p_} /O <{o_.hex()}> /U <{u_.hex()}> >>"
+            ).encode()
         trailer_extra = (
             f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
         )

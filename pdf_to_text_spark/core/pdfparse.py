@@ -471,6 +471,17 @@ def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
     return h[: min(len(key) + 5, 16)]
 
 
+def _object_key_aes(key: bytes, num: int, gen: int = 0) -> bytes:
+    """§7.6.2 Algorithm 1 for AESV2: the per-object md5 additionally
+    absorbs the spec constant ``sAlT`` (0x73416C54)."""
+    import hashlib
+
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + b"sAlT"
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
 def _int_entry(head: bytes, name: bytes, default: int | None = None) -> int:
     m = re.search(rb"/" + name + rb"\s+(-?\d+)", head)
     if m is None:
@@ -548,8 +559,24 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
         raise PdfError("unsupported security handler")
     v = _int_entry(enc, b"V", 0)
     r = _int_entry(enc, b"R")
-    if v not in (1, 2):
-        raise PdfError(f"unsupported encryption /V {v} (AES)")
+    aes = False
+    if v == 4:
+        # §7.6.5 crypt filters: the stream filter (/StmF, default
+        # /Identity) names an entry of /CF; we support the universal
+        # real-world shape /StdCF with /CFM /AESV2 (AES-128-CBC) or
+        # /CFM /V2 (RC4 under the V4 framing)
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if cfm is None:
+            raise PdfError("encryption /V 4 without a /CFM crypt filter")
+        method = cfm.group(1)
+        if method == b"AESV2":
+            aes = True
+        elif method != b"V2":
+            raise PdfError(
+                f"unsupported crypt filter /CFM /{method.decode('latin-1')}"
+            )
+    elif v not in (1, 2):
+        raise PdfError(f"unsupported encryption /V {v} (AES-256)")
     key_len = _int_entry(enc, b"Length", 40) // 8
     o_entry = _str_entry(enc, b"O")
     p = _int_entry(enc, b"P")
@@ -568,14 +595,36 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
         if sm is None:
             continue
         head = body[: sm.start()]
+        if re.search(rb"/Type\s*/XRef\b", head):
+            continue  # §7.5.8.2: cross-reference streams are never encrypted
         lm = _LENGTH_RE.search(head)
         if lm is None:
             continue
         start, ln = sm.end(), int(lm.group(1))
         payload = body[start : start + ln]
-        objs[num] = (
-            body[:start] + rc4(_object_key(key, num), payload) + body[start + ln :]
-        )
+        if aes:
+            # §7.6.2: AESV2 payload = 16-byte IV || CBC ciphertext;
+            # plaintext is shorter than /Length, so the head's /Length
+            # is rewritten to keep the decrypted object self-consistent
+            from pdf_to_text_spark.core.aescipher import cbc_decrypt
+
+            okey = _object_key_aes(key, num)
+            if len(payload) < 32:
+                raise PdfError(f"object {num}: AES stream too short")
+            try:
+                plain = cbc_decrypt(okey, payload[:16], payload[16:])
+            except ValueError as e:
+                raise PdfError(f"object {num}: AES decrypt failed: {e}") from e
+            new_head = _LENGTH_RE.sub(
+                b"/Length " + str(len(plain)).encode(), head, count=1
+            )
+            objs[num] = (
+                new_head + body[sm.start() : start] + plain + body[start + ln :]
+            )
+        else:
+            objs[num] = (
+                body[:start] + rc4(_object_key(key, num), payload) + body[start + ln :]
+            )
 
 
 def _unescape(raw: bytes) -> bytes:

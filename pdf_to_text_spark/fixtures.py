@@ -102,13 +102,13 @@ def _make_pdf(rng: random.Random, cls: str) -> bytes:
         ]
         return build_pdf(pages, predictor=pred, pred_columns=rng.choice([24, 48, 64]))
     if cls == "pdf_encrypted":
-        r = rng.choice([2, 3])
+        r = rng.choice([2, 3, 4])  # RC4-40 / RC4-128 / AESV2
         pages = [
             page_content_stream(_pdf_lines(rng, rng.randint(20, 35)))
             for _ in range(rng.randint(3, 6))
         ]
         return build_pdf(
-            pages, flate=True, encrypt=r, objstm=(r == 3 and bool(rng.getrandbits(1)))
+            pages, flate=True, encrypt=r, objstm=(r >= 3 and bool(rng.getrandbits(1)))
         )
     if cls == "pdf_15_pure":
         from pdf_to_text_spark.core.pdfgen import append_incremental, content_stream_obj

@@ -390,10 +390,14 @@ def test_notch5_boundaries():
     bad_u = pdf.replace(b"/U <", b"/U <ffff")
     pages, err = extract_pdf_pages_safe(bad_u)
     assert pages is None and "password" in err
-    # AES (/V 4+) is a disclosed boundary
+    # AES-256 (/V 5, R6 — SHA-256 derivation) is the remaining boundary
+    v5 = pdf.replace(b"/V 2 /R 3 /Length 128", b"/V 5 /R 6 /Length 256")
+    pages, err = extract_pdf_pages_safe(v5)
+    assert pages is None and "AES-256" in err
+    # /V 4 without a recognizable crypt filter is malformed
     v4 = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
     pages, err = extract_pdf_pages_safe(v4)
-    assert pages is None and "AES" in err
+    assert pages is None and "CFM" in err
     # non-Standard handlers are a disclosed boundary
     h = pdf.replace(b"/Filter /Standard", b"/Filter /Custom")
     pages, err = extract_pdf_pages_safe(h)
@@ -471,3 +475,86 @@ def test_notch6_incremental_updates_latest_wins():
     assert extract_pdf_pages(v2) == ["\n".join(LINES)]
     assert extract_pdf_pages(v3) == ["third revision"]
     assert v2.count(b"/Prev") == 1 and v3.count(b"/Prev") == 2
+
+
+# ------------------------------------------------- round-4 notch 7
+
+
+def test_notch7_aes_fips_vectors():
+    """The AES core is pinned to FIPS-197 appendix C.1 (AES-128) and
+    C.3 (AES-256) — the public, implementation-independent oracle."""
+    from pdf_to_text_spark.core.aescipher import decrypt_block, encrypt_block
+
+    k = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = encrypt_block(k, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert decrypt_block(k, ct) == pt
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert encrypt_block(k256, pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+
+
+def test_notch7_cbc_roundtrip_property():
+    import random
+
+    from pdf_to_text_spark.core.aescipher import cbc_decrypt, cbc_encrypt
+
+    rng = random.Random(20260817)
+    k = bytes(rng.randrange(256) for _ in range(16))
+    for n in (0, 1, 15, 16, 17, 4096):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        assert cbc_decrypt(k, iv, cbc_encrypt(k, iv, data)) == data
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"flate": True},
+        {"flate": True, "objstm": True, "cid_font": True},
+        {"filters": ["ASCII85Decode", "FlateDecode"]},
+        {"flate": True, "xref_stream": True},
+    ],
+)
+def test_notch7_aesv2_roundtrip_matrix(kw):
+    """/V 4 crypt filters with /CFM /AESV2: IV-prefixed CBC payloads,
+    per-object sAlT keys, /Length rewritten after decrypt — composing
+    with every structural notch."""
+    style = "cid" if kw.get("cid_font") else "td"
+    pdf = build_pdf([page_content_stream(LINES, style=style)], encrypt=4, **kw)
+    assert b"/AESV2" in pdf and b"/StmF /StdCF" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch7_aes_encrypted_image():
+    import numpy as np
+
+    from pdf_to_text_spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    g, w, h = 110, 16, 8
+    jpeg = encode_jpeg(w, h, 1, bytes([g]) * (w * h), quality=50)
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, images=[(w, h, jpeg)], encrypt=4
+    )
+    im = extract_pdf_images(pdf)[0]
+    _, _, _, px = decode_jpeg(im["data"])
+    assert np.frombuffer(px, np.uint8).mean() == g
+
+
+def test_notch7_xref_stream_never_encrypted():
+    """§7.5.8.2: the XRef stream is exempt from encryption on BOTH
+    sides — the generator builds it after the encrypt pass and the
+    parser's decrypt loop skips /Type /XRef objects."""
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, encrypt=4, xref_stream=True
+    )
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+    # RC4 + xref stream too
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, encrypt=3, xref_stream=True
+    )
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
