@@ -141,18 +141,10 @@ def decrypt_block(key: bytes, block: bytes) -> bytes:
 
 def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     """CBC encrypt with PKCS#7-style padding (the §7.6.2 rule: always
-    pad, 1-16 bytes of value = pad length). Serial per stream — used by
-    the fixture writer only."""
+    pad, 1-16 bytes of value = pad length). Serial per stream (T-table
+    fast path below) — used by the fixture writer and the 2.B KDF."""
     pad = 16 - len(plaintext) % 16
-    data = plaintext + bytes([pad]) * pad
-    ks = expand_key(key)
-    out = bytearray()
-    prev = np.frombuffer(iv, dtype=np.uint8).copy()
-    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
-    for blk in arr:
-        prev = _encrypt_blocks((blk ^ prev).reshape(1, 16), ks)[0]
-        out += prev.tobytes()
-    return bytes(out)
+    return _cbc_encrypt_serial(key, iv, plaintext + bytes([pad]) * pad)
 
 
 def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
@@ -170,3 +162,117 @@ def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     if not 1 <= pad <= 16:
         raise ValueError("bad AES-CBC padding")
     return data[:-pad]
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """CBC without padding (exact block multiple) — used for the PDF
+    AES-256 /UE //OE key-wrapping entries (§7.6.4.4.8) and the 2.B
+    KDF's inner encryption."""
+    if len(plaintext) % 16:
+        raise ValueError("nopad CBC needs a block multiple")
+    return _cbc_encrypt_serial(key, iv, plaintext)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    if len(ciphertext) % 16 or not ciphertext:
+        raise ValueError("nopad CBC needs a block multiple")
+    ks = expand_key(key)
+    ct = np.frombuffer(ciphertext, dtype=np.uint8).reshape(-1, 16)
+    plain = _decrypt_blocks(ct, ks)
+    prev = np.vstack([np.frombuffer(iv, dtype=np.uint8), ct[:-1]])
+    return (plain ^ prev).tobytes()
+
+
+def pdf_hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """PDF 2.0 Algorithm 2.B (ISO 32000-2 §7.6.4.3.4): the iterated
+    SHA-256/384/512 password hash for /R 6. Shared by generator and
+    parser (disclosed: unlike the md5 handlers, this derivation is NOT
+    independently re-implemented on the writer side — the algorithm's
+    64+ data-dependent rounds make a second implementation line-for-line
+    identical; correctness is instead pinned by the AES core's FIPS
+    vectors and full roundtrips through real encrypted files)."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+# ------------------------- serial fast path (T-table, pure ints)
+#
+# The numpy kernels above win on BULK decryption (hundreds of blocks at
+# once) but lose badly on serial chains (CBC encrypt, the 2.B KDF): the
+# per-call overhead of ~14 tiny-array ops is ~0.8 ms/block. The classic
+# four-T-table formulation in plain ints runs a block in ~25 us, which
+# is what makes the deliberately-expensive /R 6 KDF usable here.
+
+_T0 = [0] * 256
+_T1 = [0] * 256
+_T2 = [0] * 256
+_T3 = [0] * 256
+for _a in range(256):
+    _s = _SBOX[_a]
+    _s2, _s3 = int(_X2[_s]), int(_X3[_s])
+    _w = (_s2 << 24) | (_s << 16) | (_s << 8) | _s3
+    _T0[_a] = _w
+    _T1[_a] = ((_w >> 8) | (_w << 24)) & 0xFFFFFFFF
+    _T2[_a] = ((_w >> 16) | (_w << 16)) & 0xFFFFFFFF
+    _T3[_a] = ((_w >> 24) | (_w << 8)) & 0xFFFFFFFF
+
+
+def _expand_key_words(key: bytes) -> list[int]:
+    ks = expand_key(key)  # (rounds+1, 16) bytes
+    out = []
+    for rk in ks:
+        for c in range(4):
+            out.append(
+                (int(rk[4 * c]) << 24) | (int(rk[4 * c + 1]) << 16)
+                | (int(rk[4 * c + 2]) << 8) | int(rk[4 * c + 3])
+            )
+    return out
+
+
+def _encrypt_block_int(w: list[int], rounds: int, block16: int) -> int:
+    """One block as a 128-bit int (4 big-endian column words)."""
+    c0 = ((block16 >> 96) & 0xFFFFFFFF) ^ w[0]
+    c1 = ((block16 >> 64) & 0xFFFFFFFF) ^ w[1]
+    c2 = ((block16 >> 32) & 0xFFFFFFFF) ^ w[2]
+    c3 = (block16 & 0xFFFFFFFF) ^ w[3]
+    t0, t1, t2, t3, sb = _T0, _T1, _T2, _T3, _SBOX
+    for r in range(1, rounds):
+        k = 4 * r
+        n0 = t0[c0 >> 24] ^ t1[(c1 >> 16) & 0xFF] ^ t2[(c2 >> 8) & 0xFF] ^ t3[c3 & 0xFF] ^ w[k]
+        n1 = t0[c1 >> 24] ^ t1[(c2 >> 16) & 0xFF] ^ t2[(c3 >> 8) & 0xFF] ^ t3[c0 & 0xFF] ^ w[k + 1]
+        n2 = t0[c2 >> 24] ^ t1[(c3 >> 16) & 0xFF] ^ t2[(c0 >> 8) & 0xFF] ^ t3[c1 & 0xFF] ^ w[k + 2]
+        n3 = t0[c3 >> 24] ^ t1[(c0 >> 16) & 0xFF] ^ t2[(c1 >> 8) & 0xFF] ^ t3[c2 & 0xFF] ^ w[k + 3]
+        c0, c1, c2, c3 = n0, n1, n2, n3
+    k = 4 * rounds
+    f0 = ((sb[c0 >> 24] << 24) | (sb[(c1 >> 16) & 0xFF] << 16)
+          | (sb[(c2 >> 8) & 0xFF] << 8) | sb[c3 & 0xFF]) ^ w[k]
+    f1 = ((sb[c1 >> 24] << 24) | (sb[(c2 >> 16) & 0xFF] << 16)
+          | (sb[(c3 >> 8) & 0xFF] << 8) | sb[c0 & 0xFF]) ^ w[k + 1]
+    f2 = ((sb[c2 >> 24] << 24) | (sb[(c3 >> 16) & 0xFF] << 16)
+          | (sb[(c0 >> 8) & 0xFF] << 8) | sb[c1 & 0xFF]) ^ w[k + 2]
+    f3 = ((sb[c3 >> 24] << 24) | (sb[(c0 >> 16) & 0xFF] << 16)
+          | (sb[(c1 >> 8) & 0xFF] << 8) | sb[c2 & 0xFF]) ^ w[k + 3]
+    return (f0 << 96) | (f1 << 64) | (f2 << 32) | f3
+
+
+def _cbc_encrypt_serial(key: bytes, iv: bytes, data: bytes) -> bytes:
+    w = _expand_key_words(key)
+    rounds = len(w) // 4 - 1
+    prev = int.from_bytes(iv, "big")
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        prev = _encrypt_block_int(
+            w, rounds, int.from_bytes(data[i : i + 16], "big") ^ prev
+        )
+        out += prev.to_bytes(16, "big")
+    return bytes(out)

@@ -559,6 +559,27 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
         raise PdfError("unsupported security handler")
     v = _int_entry(enc, b"V", 0)
     r = _int_entry(enc, b"R")
+    if v == 5:
+        # §7.6.4 (ISO 32000-2) AES-256: /R 6 hardened hash (Algorithm
+        # 2.B), 48-byte /U = hash || validation salt || key salt, file
+        # key unwrapped from /UE; streams use the FILE key directly
+        # (no per-object derivation), AES-256-CBC with IV prefix.
+        if r != 6:
+            raise PdfError(f"unsupported AES-256 revision /R {r}")
+        from pdf_to_text_spark.core.aescipher import cbc_decrypt_nopad, pdf_hash_2b
+
+        u_entry = _str_entry(enc, b"U")
+        if len(u_entry) < 48:
+            raise PdfError("AES-256 /U entry too short")
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if pdf_hash_2b(b"", vsalt, b"") != u_entry[:32]:
+            raise PdfError("encrypted document requires a user password")
+        ue = _str_entry(enc, b"UE")
+        if len(ue) < 32:
+            raise PdfError("AES-256 /UE entry too short")
+        file_key = cbc_decrypt_nopad(pdf_hash_2b(b"", ksalt, b""), bytes(16), ue[:32])
+        _decrypt_streams(objs, enc_num, file_key, aes=True, per_object=False)
+        return
     aes = False
     if v == 4:
         # §7.6.5 crypt filters: the stream filter (/StmF, default
@@ -576,7 +597,7 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
                 f"unsupported crypt filter /CFM /{method.decode('latin-1')}"
             )
     elif v not in (1, 2):
-        raise PdfError(f"unsupported encryption /V {v} (AES-256)")
+        raise PdfError(f"unsupported encryption /V {v}")
     key_len = _int_entry(enc, b"Length", 40) // 8
     o_entry = _str_entry(enc, b"O")
     p = _int_entry(enc, b"P")
@@ -588,6 +609,17 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
     sig = 32 if r == 2 else 16
     if u_entry[:sig] != expect[:sig]:
         raise PdfError("encrypted document requires a user password")
+    _decrypt_streams(objs, enc_num, key, aes=aes, per_object=True)
+
+
+def _decrypt_streams(
+    objs: dict[int, bytes], enc_num: int, key: bytes, *, aes: bool, per_object: bool
+) -> None:
+    """Decrypt every top-level stream payload in place. ``per_object``
+    applies §7.6.2 Algorithm 1 key derivation (RC4/AESV2); AES-256
+    (AESV3) uses the file key directly. XRef streams are exempt
+    (§7.5.8.2); AES payloads are 16-byte IV || CBC ciphertext and the
+    head's /Length is rewritten since the plaintext is shorter."""
     for num, body in objs.items():
         if num == enc_num:
             continue
@@ -603,12 +635,9 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes]) -> None:
         start, ln = sm.end(), int(lm.group(1))
         payload = body[start : start + ln]
         if aes:
-            # §7.6.2: AESV2 payload = 16-byte IV || CBC ciphertext;
-            # plaintext is shorter than /Length, so the head's /Length
-            # is rewritten to keep the decrypted object self-consistent
             from pdf_to_text_spark.core.aescipher import cbc_decrypt
 
-            okey = _object_key_aes(key, num)
+            okey = _object_key_aes(key, num) if per_object else key
             if len(payload) < 32:
                 raise PdfError(f"object {num}: AES stream too short")
             try:

@@ -558,3 +558,53 @@ def test_notch7_xref_stream_never_encrypted():
         [page_content_stream(LINES)], flate=True, encrypt=3, xref_stream=True
     )
     assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+# ------------------------------------------------- round-4 notch 8
+
+
+def test_notch8_aes256_roundtrip():
+    """AES-256 (/V 5 /R 6, ISO 32000-2): hardened 2.B KDF, 48-byte /U,
+    file key unwrapped from /UE, AESV3 streams keyed by the FILE key.
+    One composed roundtrip (objstm + xref stream) keeps the suite's
+    KDF cost bounded — the KDF is deliberately expensive by design
+    (~0.4 s/call here), which is also why the R6 class is excluded
+    from the per-doc fixture mix."""
+    pdf = build_pdf(
+        [page_content_stream(LINES)],
+        flate=True, objstm=True, xref_stream=True, encrypt=6,
+    )
+    assert b"/AESV3" in pdf and b"/UE <" in pdf and b"/Perms <" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch8_aes256_boundaries():
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
+
+    pdf = build_pdf([page_content_stream(LINES)], encrypt=6)
+    # wrong user password fails the 2.B validation hash honestly
+    bad = pdf.replace(b"/U <", b"/U <ffff")
+    pages, err = extract_pdf_pages_safe(bad)
+    assert pages is None and "password" in err
+    # the deprecated /R 5 variant is a disclosed boundary
+    r5 = pdf.replace(b"/V 5 /R 6", b"/V 5 /R 5")
+    pages, err = extract_pdf_pages_safe(r5)
+    assert pages is None and "revision" in err
+
+
+def test_notch8_serial_fast_path_identity():
+    """The T-table serial encryptor is bit-identical to the numpy
+    kernels (which are themselves FIPS-vector-pinned)."""
+    import random
+
+    from pdf_to_text_spark.core.aescipher import (
+        _cbc_encrypt_serial,
+        cbc_decrypt_nopad,
+    )
+
+    rng = random.Random(20260817)
+    for klen in (16, 32):
+        k = bytes(rng.randrange(256) for _ in range(klen))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        data = bytes(rng.randrange(256) for _ in range(320))
+        assert cbc_decrypt_nopad(k, iv, _cbc_encrypt_serial(k, iv, data)) == data
