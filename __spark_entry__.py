@@ -1017,6 +1017,58 @@ def _q61_pdf_aes_roundtrip(spark, sf):
     )
 
 
+def _q62_pdf_g4_image(spark, sf):
+    """Round-5 notch-9, end-to-end through REAL bytes: each doc's text
+    drives a deterministic bitonal bitmap — height h is an odd divisor
+    of 255 ({3,5,15,17} by L%4) so the bit-mean luminance is an EXACT
+    integer (no cross-engine rounding axis), k = L%(h+1) leading black
+    rows, w = 8*(1+L%4) columns — Group-4 encoded (core/ccittfax.py),
+    embedded as a ``/CCITTFaxDecode`` XObject (/K -1 + /DecodeParms),
+    painted by the content stream, then extracted back by the REAL
+    operator (``multimodal.pdf_embedded_images`` → own T.6 decoder →
+    bit-mean luma). The oracle recomputes (w, h, luma) from length()
+    alone. Reference parity: fitz decodes CCITTFax transparently
+    (``core_document_generator.py:122``); G4 is the dominant
+    scanned-PDF bitonal codec."""
+    from pdf_to_text_spark.operators.multimodal import pdf_embedded_images
+
+    d = _par(spark, _t(spark, sf, "documents"))
+
+    @F.pandas_udf("binary")
+    def doc_pdf(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        from pdf_to_text_spark.core.ccittfax import encode_g4
+        from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+
+        def mk(t):
+            s = _re.sub(r"[^ -~]", "", t or "")
+            L = len(s)
+            h = (3, 5, 15, 17)[L % 4]
+            k = L % (h + 1)
+            w = 8 * (1 + L % 4)
+            bm = [[1] * w if i < k else [0] * w for i in range(h)]
+            content = (
+                page_content_stream([s[:30], s[30:60]])
+                + f"\nq {w} 0 0 {h} 72 600 cm /Im0 Do Q".encode()
+            )
+            return build_pdf(
+                [content], flate=True, images=[(w, h, encode_g4(bm, w), "g4")]
+            )
+
+        return texts.map(mk)
+
+    pdfs = d.select(F.col("doc_id").cast("string").alias("doc_key"), doc_pdf("text").alias("pdf"))
+    out = pdf_embedded_images(pdfs, bin_col="pdf", id_col="doc_key")
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "image_no",
+        "width",
+        "height",
+        "mean_luma",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing,
@@ -1074,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pdf_encrypted_roundtrip": _q59_pdf_encrypted_roundtrip,
         "q60_pdf_modern_structure_roundtrip": _q60_pdf_modern_structure_roundtrip,
         "q61_pdf_aes_roundtrip": _q61_pdf_aes_roundtrip,
+        "q62_pdf_g4_image": _q62_pdf_g4_image,
     }
 
 
@@ -1722,6 +1775,23 @@ select doc_id, 1 as image_no,
        (8 * (1 + L % 3))::int as height,
        (2 * (10 + L % 100))::int as mean_luma
 from s
+""",
+        "q62_pdf_g4_image": """
+with s as (
+  select doc_id,
+         length(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')) as L
+  from documents
+), p as (
+  select doc_id, L,
+         case when L % 4 = 0 then 3 when L % 4 = 1 then 5
+              when L % 4 = 2 then 15 else 17 end as h
+  from s
+)
+select doc_id, 1 as image_no,
+       (8 * (1 + L % 4))::int as width,
+       h::int as height,
+       ((255 // h) * (h - (L % (h + 1))))::int as mean_luma
+from p
 """,
         "q29_raster_ocr": r"""
 with ls as (

@@ -68,9 +68,13 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def bench_corpus(sf: float, seed: int = 42) -> tuple[str, int]:
-    """Deterministic cached pages corpus sized to the scale factor."""
+    """Deterministic cached pages corpus sized to the scale factor.
+    The cache key carries the corpus-mix version (fixtures.MIX_TAG) so
+    a default-mix change can never silently reuse a stale corpus."""
+    from pdf_to_text_spark.fixtures import MIX_TAG
+
     rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", max(1200, int(240_000 * sf))))
-    d = f"/tmp/sg_bench_pages_r{rows}_s{seed}"
+    d = f"/tmp/sg_bench_pages_r{rows}_s{seed}_{MIX_TAG}"
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
@@ -209,13 +213,28 @@ def main() -> None:
             "load1_end": _load1(),
         }
     )
-    # the one-line JSON outgrew the driver's stdout tail capture in r3
-    # (BENCH_r03.json "parsed": null) — persist the full artifact to a
-    # file as well so per-query medians survive any tail truncation
+    # the one-line JSON outgrew the driver's stdout tail capture in r3/r4
+    # (BENCH_r0{3,4}.json "parsed": null) — persist the FULL artifact to a
+    # file, and print a COMPACT line (no queries_min, no methodology keys)
+    # to stdout so the driver's tail capture parses it
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "last_bench.json"), "w") as f:
         f.write(payload + "\n")
-    print(payload)
+    compact = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cores": cores,
+            "extraction_rows": rows,
+            "extraction_docs_per_sec": round(docs_per_sec, 1),
+            "full": "BENCH/last_bench.json",
+        },
+        separators=(",", ":"),
+    )
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,339 @@
+"""CCITT Group 4 (ITU-T T.6) two-dimensional bitonal codec.
+
+PDF's ``/CCITTFaxDecode`` with ``/K < 0`` (§7.4.6) — the most common
+image filter in real scanned PDFs after DCT (the reference accepts it
+transparently through fitz, ``core_document_generator.py:122``; this
+engine decodes it natively so scanned-page XObjects surface through
+``operators/multimodal.pdf_embedded_images`` like DCT ones do).
+
+Scope: Group 4 only (pure 2-D coding, ``/K -1``). Group 3 (/K >= 0)
+remains a disclosed ``PdfError`` boundary — G3 is a fax-wire format
+that practically never appears inside PDFs, where G4 dominates.
+
+Internal convention: bitmaps are rows of 0/1 ints with **1 = black**
+(the coding domain of T.6, which codes runs of white starting first).
+The PDF sample-space mapping (``/BlackIs1 false`` ⇒ 0 bits are black,
+§7.4.6 Table 11) happens only at ``decode_g4``'s packing step.
+
+Disclosure (same pattern as the AES-256 2.B KDF, NOTES_r4): encoder
+and decoder share the ONE modified-Huffman run-length table below, so
+a transcription error would cancel in roundtrips. Mitigations: the
+table is gated by structural tests (prefix-freeness of every decode
+space, completeness of terminating 0–63 and make-up 64–2560 entries,
+spec-pinned bit widths), and the 2-D mode codes (V/H/P/EOFB) are
+spec-exact by construction of the decoder's bit walk.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from pdf_to_text_spark.core.pdfparse import PdfError
+
+# ---------------------------------------------------------------- tables
+# ITU-T T.4 §2.2.2 modified-Huffman run-length codes (shared by T.6
+# horizontal mode). Key = run length, value = code bits as a string.
+
+WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+}
+
+WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100",
+    768: "011001101", 832: "011010010", 896: "011010011",
+    960: "011010100", 1024: "011010101", 1088: "011010110",
+    1152: "011010111", 1216: "011011000", 1280: "011011001",
+    1344: "011011010", 1408: "011011011", 1472: "010011000",
+    1536: "010011001", 1600: "010011010", 1664: "011000",
+    1728: "010011011",
+}
+
+BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+}
+
+BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+# T.4 §2.2.3 extended make-up codes 1792–2560 (shared by both colours)
+EXT_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+# T.6 §2.2.4 two-dimensional mode codes (vertical offsets −3..+3)
+_VCODES = {
+    0: "1", 1: "011", 2: "000011", 3: "0000011",
+    -1: "010", -2: "000010", -3: "0000010",
+}
+_PASS, _HORIZ = "0001", "001"
+_EOL = "000000000001"
+
+_WHITE_ALL = {**WHITE_TERM, **WHITE_MAKEUP, **EXT_MAKEUP}
+_BLACK_ALL = {**BLACK_TERM, **BLACK_MAKEUP, **EXT_MAKEUP}
+# decode maps: (nbits, code-as-int) -> run
+_WHITE_DEC = {(len(b), int(b, 2)): r for r, b in _WHITE_ALL.items()}
+_BLACK_DEC = {(len(b), int(b, 2)): r for r, b in _BLACK_ALL.items()}
+_MAX_CODE_BITS = 14
+
+
+# ---------------------------------------------------------------- encode
+
+def _run_code(run: int, white: bool) -> str:
+    """Make-up code(s) + terminating code for one run (multiple 2560
+    make-ups for very wide runs, per T.4 §2.2.2.3)."""
+    table = _WHITE_ALL if white else _BLACK_ALL
+    out: list[str] = []
+    while run >= 64:
+        m = min(2560, (run // 64) * 64)
+        if run - m > 63:  # still too long after the largest make-up
+            m = 2560
+        out.append(table[m])
+        run -= m
+    out.append(table[run])
+    return "".join(out)
+
+
+def _transitions(row) -> list[int]:
+    """Positions where the pixel colour changes (row starts white)."""
+    t: list[int] = []
+    prev = 0
+    for i, px in enumerate(row):
+        px = 1 if px else 0
+        if px != prev:
+            t.append(i)
+            prev = px
+    return t
+
+
+def encode_g4(bitmap, columns: int) -> bytes:
+    """T.6-encode rows of 0/1 ints (1 = black) + trailing EOFB."""
+    bits: list[str] = []
+    ref = [columns, columns]
+    for row in bitmap:
+        cur = _transitions(row)
+        curs = cur + [columns, columns]
+        a0, color, ci = -1, 0, 0
+        while a0 < columns:
+            while ci < len(curs) - 2 and curs[ci] <= a0:
+                ci += 1
+            a1 = curs[ci] if curs[ci] > a0 else columns
+            i = bisect_right(ref, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else columns
+            b2 = ref[i + 1] if i + 1 < len(ref) else columns
+            if b2 < a1:
+                bits.append(_PASS)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                bits.append(_VCODES[a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:
+                a2 = curs[ci + 1] if ci + 1 < len(curs) and curs[ci + 1] > a1 else columns
+                bits.append(_HORIZ)
+                start = a0 if a0 >= 0 else 0
+                bits.append(_run_code(a1 - start, color == 0))
+                bits.append(_run_code(a2 - a1, color == 1))
+                a0 = a2
+        ref = cur + [columns, columns]
+    bits.append(_EOL * 2)  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+# ---------------------------------------------------------------- decode
+
+class _BitReader:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.n = data, 0, len(data) * 8
+
+    def bit(self) -> int:
+        if self.pos >= self.n:
+            raise PdfError("truncated G4 stream")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def peek_eofb(self) -> bool:
+        if self.n - self.pos < 12:
+            return True  # nothing but padding left
+        save = self.pos
+        got = all(
+            ((self.data[(save + k) >> 3] >> (7 - ((save + k) & 7))) & 1)
+            == (1 if k == 11 else 0)
+            for k in range(12)
+        )
+        return got
+
+
+def _read_mode(br: _BitReader) -> str:
+    if br.bit():
+        return "V0"
+    if br.bit():
+        return "VR1" if br.bit() else "VL1"
+    if br.bit():
+        return "H"
+    if br.bit():
+        return "P"
+    if br.bit():
+        return "VR2" if br.bit() else "VL2"
+    if br.bit():
+        return "VR3" if br.bit() else "VL3"
+    return "EOL"  # seven zeros — only EOL/EOFB starts this way in G4
+
+
+_MODE_DELTA = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3, "VL1": -1, "VL2": -2, "VL3": -3}
+
+
+def _read_one_code(br: _BitReader, white: bool) -> int:
+    dec = _WHITE_DEC if white else _BLACK_DEC
+    code = 0
+    for n in range(1, _MAX_CODE_BITS + 1):
+        code = (code << 1) | br.bit()
+        run = dec.get((n, code))
+        if run is not None:
+            return run
+    raise PdfError("bad G4 run-length code")
+
+
+def _read_run(br: _BitReader, white: bool) -> int:
+    total = 0
+    while True:
+        run = _read_one_code(br, white)
+        total += run
+        if run < 64:
+            return total
+
+
+def decode_g4(
+    data: bytes, columns: int, rows: int | None = None, black_is_1: bool = False
+) -> bytes:
+    """Decode a T.6 stream to packed 1-bpc samples, each row padded to
+    a byte boundary (the sample layout §7.4.6 prescribes for image
+    XObjects). ``black_is_1=False`` (the PDF default) packs black
+    pixels as 0 bits. Stops after ``rows`` lines when given, else at
+    EOFB / data exhaustion."""
+    if columns <= 0:
+        raise PdfError("G4 columns must be positive")
+    br = _BitReader(data)
+    ref = [columns, columns]
+    out = bytearray()
+    rowbytes = (columns + 7) // 8
+    n_rows = 0
+    while rows is None or n_rows < rows:
+        if rows is None and br.peek_eofb():
+            break
+        cur: list[int] = []
+        a0, color = -1, 0
+        while a0 < columns:
+            mode = _read_mode(br)
+            if mode == "EOL":
+                raise PdfError("unexpected EOL inside G4 line")
+            if mode == "P" or mode == "H":
+                i = bisect_right(ref, a0)
+                if (i & 1) != color:
+                    i += 1
+                b1 = ref[i] if i < len(ref) else columns
+                b2 = ref[i + 1] if i + 1 < len(ref) else columns
+                if mode == "P":
+                    a0 = b2
+                else:
+                    r1 = _read_run(br, color == 0)
+                    r2 = _read_run(br, color == 1)
+                    start = a0 if a0 >= 0 else 0
+                    a1 = start + r1
+                    a2 = a1 + r2
+                    cur.append(a1)
+                    cur.append(a2)
+                    a0 = a2
+            else:
+                i = bisect_right(ref, a0)
+                if (i & 1) != color:
+                    i += 1
+                b1 = ref[i] if i < len(ref) else columns
+                a1 = b1 + _MODE_DELTA[mode]
+                if a1 < 0 or a1 > columns:
+                    raise PdfError("G4 vertical offset out of range")
+                cur.append(a1)
+                a0 = a1
+                color ^= 1
+        # materialize the row: 1 = black internally
+        rowbits = bytearray(rowbytes)
+        px, pos = 0, 0
+        for t in cur:
+            t = min(t, columns)
+            if px:  # black span [pos, t)
+                for j in range(pos, t):
+                    rowbits[j >> 3] |= 0x80 >> (j & 7)
+            px ^= 1
+            pos = t
+        if px:
+            for j in range(pos, columns):
+                rowbits[j >> 3] |= 0x80 >> (j & 7)
+        if not black_is_1:  # PDF default: 0 bits are black → invert
+            mask_last = (0xFF << (-columns % 8)) & 0xFF if columns % 8 else 0xFF
+            for j in range(rowbytes):
+                rowbits[j] ^= 0xFF if j < rowbytes - 1 else mask_last
+        out += rowbits
+        if len(out) > (256 << 20):  # decompression-bomb guard
+            raise PdfError("g4 output exceeds decode cap")
+        ref = [t for t in cur if t < columns] + [columns, columns]
+        n_rows += 1
+        if rows is None and br.n - br.pos < 1:
+            break
+    if rows is not None and br.peek_eofb():
+        pass  # EOFB (or padding) after the declared rows — fine
+    return bytes(out)

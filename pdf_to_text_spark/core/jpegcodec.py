@@ -5,12 +5,21 @@ REAL (`/root/reference` reads JPEGs via cv2/PIL, e.g.
 ``2_OpenCV_OCR/utils_list_images.py:5``; this container ships neither,
 so the codec is implemented from the public spec):
 
-- **decoder**: baseline sequential DCT (SOF0) — segment walk, DQT/DHT/
-  DRI honored, Huffman entropy decode with byte unstuffing and restart
-  markers, dequantize → IDCT (numpy), grayscale or YCbCr with ANY
-  sampling factors (nearest-neighbor upsample), JFIF YCbCr→RGB.
-  Progressive (SOF2) / arithmetic / 12-bit raise ``MediaError`` —
-  honest subset, same row-level-tolerance contract as ``decode_png``.
+- **decoder**: baseline sequential DCT (SOF0, incl. multi-scan) AND
+  progressive DCT (SOF2, full Annex G: spectral selection + successive
+  approximation, coefficient-domain accumulation) — segment walk,
+  DQT/DHT/DRI honored, Huffman entropy decode with byte unstuffing and
+  restart markers, dequantize → IDCT (numpy), grayscale or YCbCr with
+  ANY sampling factors (nearest-neighbor upsample), JFIF YCbCr→RGB.
+  Arithmetic-coded (SOF9/SOF10) / lossless / 12-bit raise ``MediaError``
+  — honest subset, same row-level-tolerance contract as ``decode_png``.
+  Arithmetic coding is PERMANENTLY out of scope (round-5 decision):
+  the QM-coder state table cannot be externally validated in this
+  offline container, and a shared-constant encoder/decoder pair would
+  prove only self-consistency — the opposite of the repo's
+  independent-sides rule; it is also rare in the wild (most decoders
+  never shipped it for patent-era reasons). The boundary is pinned by
+  tests/test_mediacodec.py (SOF9 → clean MediaError row).
 - **encoder**: minimal baseline writer so fixtures are self-generated
   (no external data): grayscale or RGB (4:4:4), Annex-K quant tables
   scaled by the libjpeg quality formula, one DC + one AC Huffman table

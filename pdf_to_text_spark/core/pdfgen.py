@@ -306,25 +306,27 @@ def _rc4e(key: bytes, data: bytes) -> bytes:
 
 
 def std_handler_entries(
-    owner_pw: bytes, r: int, nbits: int, p: int, id0: bytes
+    owner_pw: bytes, r: int, nbits: int, p: int, id0: bytes, user_pw: bytes = b""
 ) -> tuple[bytes, bytes, bytes]:
-    """Standard security handler entries for an EMPTY user password:
-    (file_key, /O, /U) per PDF 32000 §7.6.3.4 Algorithms 3 (O), 2 (file
-    key) and 4/5 (U). Independent spec implementation (see _rc4e)."""
+    """Standard security handler entries — (file_key, /O, /U) per PDF
+    32000 §7.6.3.4 Algorithms 3 (O), 2 (file key) and 4/5 (U), for an
+    EMPTY user password by default or a supplied ``user_pw`` (round-5
+    item 6). Independent spec implementation (see _rc4e)."""
     import hashlib
 
     klen = nbits // 8
+    upad = (user_pw + _ENC_PAD)[:32]
     h = hashlib.md5((owner_pw + _ENC_PAD)[:32]).digest()
     if r >= 3:
         for _ in range(50):  # Alg 3 step c: full 16-byte rehash
             h = hashlib.md5(h).digest()
     okey = h[:klen]
-    o = _rc4e(okey, _ENC_PAD)  # empty user password, padded
+    o = _rc4e(okey, upad)  # Alg 3 step e: the PADDED USER password
     if r >= 3:
         for i in range(1, 20):
             o = _rc4e(bytes(x ^ i for x in okey), o)
     key = hashlib.md5(
-        _ENC_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        upad + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
     ).digest()
     if r >= 3:
         for _ in range(50):  # Alg 2 step f: first-klen-bytes rehash
@@ -347,7 +349,7 @@ def build_pdf(
     predictor: int | None = None, pred_columns: int = 64,
     images: list[tuple[int, int, bytes]] | None = None,
     encrypt: int | None = None, owner_pw: bytes = b"owner",
-    xref_stream: bool = False,
+    user_pw: bytes = b"", xref_stream: bool = False,
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
@@ -414,7 +416,21 @@ def build_pdf(
     if images:
         refs = " ".join(f"/Im{i} {img_base + i} 0 R" for i in range(len(images)))
         xobj_entry = f" /XObject << {refs} >>"
-        for i, (iw, ih, jpeg) in enumerate(images):
+        for i, img in enumerate(images):
+            if len(img) == 4 and img[3] == "g4":
+                # bitonal scan shape: Group 4 (T.6) with explicit
+                # /DecodeParms — /K -1 selects pure 2-D coding (§7.4.6)
+                iw, ih, payload = img[0], img[1], img[2]
+                objs[img_base + i] = (
+                    f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+                    f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    f"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                    f"/Columns {iw} /Rows {ih} /BlackIs1 false >> "
+                    f"/Length {len(payload)} >>".encode()
+                    + b"\nstream\n" + payload + b"\nendstream"
+                )
+                continue
+            iw, ih, jpeg = img[0], img[1], img[2]
             objs[img_base + i] = (
                 f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
                 f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
@@ -544,8 +560,8 @@ def build_pdf(
             key = hashlib.sha256(b"filekey" + id0).digest()
             vs = hashlib.md5(b"vs" + id0).digest()[:8]
             ks_ = hashlib.md5(b"ks" + id0).digest()[:8]
-            u_ = pdf_hash_2b(b"", vs, b"") + vs + ks_
-            ue_ = cbc_encrypt_nopad(pdf_hash_2b(b"", ks_, b""), bytes(16), key)
+            u_ = pdf_hash_2b(user_pw, vs, b"") + vs + ks_
+            ue_ = cbc_encrypt_nopad(pdf_hash_2b(user_pw, ks_, b""), bytes(16), key)
             ovs = hashlib.md5(b"ovs" + id0).digest()[:8]
             oks = hashlib.md5(b"oks" + id0).digest()[:8]
             o_ = pdf_hash_2b(owner_pw, ovs, u_) + ovs + oks
@@ -556,7 +572,7 @@ def build_pdf(
                 + b"\xff\xff\xff\xff" + b"Tadb" + id0[:4],
             )
         else:
-            key, o_, u_ = std_handler_entries(owner_pw, r_, nbits, p_, id0)
+            key, o_, u_ = std_handler_entries(owner_pw, r_, nbits, p_, id0, user_pw)
         for num in sorted(objs):
             body = objs[num]
             sm = body.find(b"\nstream\n")

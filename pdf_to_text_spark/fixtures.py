@@ -34,12 +34,19 @@ _WORDS = (
 
 _BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
+# Round-5 default mix (judge item 9): one encrypted and one
+# xref-stream class join the DEFAULT corpus at small weight, so the
+# headline docs/s reflects the parser users actually get. Weights still
+# sum to 100 (pdf_digital 14→13, html_article 22→21 absorb them); the
+# bench bands are re-baselined against this mix in BENCH/BASELINE.md —
+# round-over-round comparisons before/after use the measured same-
+# window old-mix/new-mix ratio recorded there.
 ROW_CLASSES = [
-    ("pdf_digital", 14),
+    ("pdf_digital", 13),
     ("pdf_flate", 9),
     ("pdf_sparse", 7),
     ("pdf_shuffled_ops", 7),
-    ("html_article", 22),
+    ("html_article", 21),
     ("html_article_textlayer", 8),
     ("html_menu", 8),
     ("html_messy", 10),
@@ -47,20 +54,19 @@ ROW_CLASSES = [
     ("broken", 5),
     ("pdf_whale", 1),
     ("nonenglish", 4),
+    ("pdf_encrypted", 2),       # notch 5/7: RC4-40/128 + AESV2, empty user pw
+    ("pdf_15_pure", 2),         # notch 6: xref stream + ObjStm, sometimes updated
 ]
 
-# Round-4 widened-subset classes. NOT in the default mix on purpose: the
-# bench corpus and the scaling campaign's healthy bands are calibrated
-# against the default ROW_CLASSES — changing the default would silently
-# invalidate round-over-round throughput comparisons. Use --extended /
-# classes=ROW_CLASSES_EXTENDED for correctness coverage of the widened
-# parser surface.
+# Corpus-mix version tag — part of every bench-corpus cache key so a
+# mix change can NEVER silently reuse a stale cached corpus.
+MIX_TAG = "m5"
+
+# Full widened-subset coverage for correctness runs (--extended):
 ROW_CLASSES_EXTENDED = ROW_CLASSES + [
     ("pdf_modern", 6),          # notch 2: ObjStm + CID/ToUnicode + /Contents arrays
     ("pdf_legacy_filters", 5),  # notch 3: LZW / ASCII85+Flate / RLE / ASCIIHex
     ("pdf_predictor", 3),       # notch 4: TIFF/PNG predictors on flate content
-    ("pdf_encrypted", 4),       # notch 5: RC4 Standard handler, empty user pw
-    ("pdf_15_pure", 3),         # notch 6: xref stream + ObjStm, sometimes updated
 ]
 
 

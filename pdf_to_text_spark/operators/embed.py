@@ -70,22 +70,38 @@ def _embed_one(text: str | None, dim: int) -> list[float]:
     return v
 
 
-def embed_text_udf(dim: int = EMBED_DIM):
-    """Arrow-batched text→vector UDF (the M9 inference slot)."""
+def embed_text_udf(dim: int = EMBED_DIM, model_fn=None):
+    """Arrow-batched text→vector UDF (the M9 inference slot).
+
+    ``model_fn`` is the formal swap-in point for a real encoder: a
+    picklable callable ``list[str | None] -> sequence of list[float]``
+    (batch in, batch out — exactly ``model.encode(batch)``'s shape).
+    It runs INSIDE the Arrow batch on the executor; heavyweight models
+    should lazy-init per worker behind a module-level singleton, the
+    same pattern the default's token-hash memo uses. Default: the
+    deterministic md5 feature-hash documented in the module docstring
+    (DuckDB-reproducible, so q46 stays hash-checked).
+    """
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed_batch(s: pd.Series) -> pd.Series:
+        if model_fn is not None:
+            return pd.Series(list(model_fn(s.tolist())), index=s.index)
         return s.map(lambda t: _embed_one(t, dim))
 
     return _embed_batch
 
 
 def with_embedding(
-    df: DataFrame, text_col: str = "text", out_col: str = "embedding", dim: int = EMBED_DIM
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    model_fn=None,
 ) -> DataFrame:
     """Append an embedding column. Scale: embarrassingly parallel
     projection — no shuffle; Arrow batches bound per-worker memory."""
-    return df.withColumn(out_col, embed_text_udf(dim)(F.col(text_col)))
+    return df.withColumn(out_col, embed_text_udf(dim, model_fn)(F.col(text_col)))
 
 
 def _sq_norm(v: Column) -> Column:
@@ -100,6 +116,7 @@ def centrality_topk_from_text(
     k: int = 3,
     dim: int = EMBED_DIM,
     cache: bool = True,
+    model_fn=None,
 ) -> DataFrame:
     """The reference's extractive-summarizer chain run from RAW TEXT
     (prepare → embed → cosine matrix → row-sum → top-k,
@@ -111,7 +128,7 @@ def centrality_topk_from_text(
     """
     from pdf_to_text_spark.operators.similarity import dot
 
-    e = with_embedding(df, text_col, "v", dim).select(group_col, id_col, "v")
+    e = with_embedding(df, text_col, "v", dim, model_fn).select(group_col, id_col, "v")
     e = e.filter(_sq_norm(F.col("v")) > 0)
     # L2-normalize ONCE per doc so each pair costs a single dot product
     # — cosine(va, vb) recomputes both norms per pair, i.e. 3 array

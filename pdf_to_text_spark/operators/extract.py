@@ -62,20 +62,29 @@ def _html_main_safe(data: bytes) -> tuple[str | None, str | None]:
         return None, f"unexpected:{type(e).__name__}"
 
 
-@F.pandas_udf(_PDF_RESULT)
-def pdf_pages_udf(html: pd.Series) -> pd.DataFrame:
+def make_pdf_pages_udf(password: bytes | str = b""):
     """binary → (ordered page texts, error, parse-ms). SURVEY M1/M2/M5:
     deterministic text-object decode replaces rasterize+OCR. Errors
     (including unexpected exceptions on malformed-but-magic-valid input)
-    become rows, never task failures."""
-    pages_out, err_out, ms_out = [], [], []
-    for data in html:
-        t0 = time.perf_counter()
-        pages, err = extract_pdf_pages_safe(bytes(data))
-        pages_out.append(pages)
-        err_out.append(err)
-        ms_out.append((time.perf_counter() - t0) * 1000.0)
-    return pd.DataFrame({"pages": pages_out, "error": err_out, "ms": ms_out})
+    become rows, never task failures. ``password`` is the user password
+    applied to every encrypted document in the frame (round-5 item 6) —
+    wrong or missing passwords stay disclosed error rows."""
+
+    @F.pandas_udf(_PDF_RESULT)
+    def pdf_pages_udf(html: pd.Series) -> pd.DataFrame:
+        pages_out, err_out, ms_out = [], [], []
+        for data in html:
+            t0 = time.perf_counter()
+            pages, err = extract_pdf_pages_safe(bytes(data), password)
+            pages_out.append(pages)
+            err_out.append(err)
+            ms_out.append((time.perf_counter() - t0) * 1000.0)
+        return pd.DataFrame({"pages": pages_out, "error": err_out, "ms": ms_out})
+
+    return pdf_pages_udf
+
+
+pdf_pages_udf = make_pdf_pages_udf()
 
 
 @F.pandas_udf(_HTML_RESULT)
@@ -131,7 +140,9 @@ def _assemble_pdf_doc(r: Column) -> Column:
     return normalize_extracted(F.array_join(pages_norm, "\n\n"))
 
 
-def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
+def extract_documents(
+    pages_df: DataFrame, threshold: int = 250, pdf_password: bytes | str = b""
+) -> DataFrame:
     """The headline operator: pages table → (url, extracted_text, error,
     route, bytes_in, extract_ms).
 
@@ -158,9 +169,10 @@ def extract_documents(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
         F.lit(0.0).alias("extract_ms"),
     )
 
+    pdf_udf = pdf_pages_udf if not pdf_password else make_pdf_pages_udf(pdf_password)
     pdf_b = (
         routed.filter(~suff & ~empty & pdfm)
-        .withColumn("r", pdf_pages_udf("html"))
+        .withColumn("r", pdf_udf("html"))
         .select(
             "url",
             F.when(F.col("r.error").isNotNull(), F.lit(None).cast("string"))
@@ -217,46 +229,56 @@ _FUSED_RESULT = T.StructType(
 )
 
 
-@F.pandas_udf(_FUSED_RESULT)
-def parse_any_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+def make_parse_any_udf(password: bytes | str = b""):
     """Single-pass routed parse (SURVEY §7.2 decision record: adopted
     after profiling showed the 4-branch union re-reading the shuffled
     input 4×). Routing logic is the same frozen spec as ``sniff_route``;
-    PDF pages are joined on PAGE_SEP so normalization can stay Catalyst."""
-    from pdf_to_text_spark.core.textnorm import text_layer_sufficient as _suff
+    PDF pages are joined on PAGE_SEP so normalization can stay Catalyst.
+    ``password`` is threaded to the PDF decryptor (round-5 item 6)."""
 
-    raws, errs, routes, mss = [], [], [], []
-    for h, t in zip(html, text):
-        t0 = time.perf_counter()
-        raw = err = None
-        if _suff(t):
-            raw, route = t, ROUTE_TEXT
-        else:
-            data = bytes(h) if h is not None else b""
-            if not data:
-                err, route = "empty_payload", ROUTE_ERROR
-            elif data.startswith(b"%PDF-"):
-                route = ROUTE_PDF
-                pages, perr = extract_pdf_pages_safe(data)
-                if perr is not None:
-                    err = f"pdf:{perr}"
-                else:
-                    raw = PAGE_SEP.join(pages)
-            elif data[:32].lstrip()[:1] == b"<":
-                route = ROUTE_HTML
-                raw, herr = _html_main_safe(data)
-                if herr is not None:
-                    err = f"html:{herr}"
+    @F.pandas_udf(_FUSED_RESULT)
+    def parse_any_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+        from pdf_to_text_spark.core.textnorm import text_layer_sufficient as _suff
+
+        raws, errs, routes, mss = [], [], [], []
+        for h, t in zip(html, text):
+            t0 = time.perf_counter()
+            raw = err = None
+            if _suff(t):
+                raw, route = t, ROUTE_TEXT
             else:
-                err, route = "unknown_format", ROUTE_ERROR
-        raws.append(raw)
-        errs.append(err)
-        routes.append(route)
-        mss.append((time.perf_counter() - t0) * 1000.0)
-    return pd.DataFrame({"raw": raws, "error": errs, "route": routes, "ms": mss})
+                data = bytes(h) if h is not None else b""
+                if not data:
+                    err, route = "empty_payload", ROUTE_ERROR
+                elif data.startswith(b"%PDF-"):
+                    route = ROUTE_PDF
+                    pages, perr = extract_pdf_pages_safe(data, password)
+                    if perr is not None:
+                        err = f"pdf:{perr}"
+                    else:
+                        raw = PAGE_SEP.join(pages)
+                elif data[:32].lstrip()[:1] == b"<":
+                    route = ROUTE_HTML
+                    raw, herr = _html_main_safe(data)
+                    if herr is not None:
+                        err = f"html:{herr}"
+                else:
+                    err, route = "unknown_format", ROUTE_ERROR
+            raws.append(raw)
+            errs.append(err)
+            routes.append(route)
+            mss.append((time.perf_counter() - t0) * 1000.0)
+        return pd.DataFrame({"raw": raws, "error": errs, "route": routes, "ms": mss})
+
+    return parse_any_udf
 
 
-def extract_documents_fused(pages_df: DataFrame, threshold: int = 250) -> DataFrame:
+parse_any_udf = make_parse_any_udf()
+
+
+def extract_documents_fused(
+    pages_df: DataFrame, threshold: int = 250, pdf_password: bytes | str = b""
+) -> DataFrame:
     """Fused single-UDF-stage variant of ``extract_documents`` — same
     output, byte-identical (tests pin equality to the goldens).
 
@@ -269,7 +291,8 @@ def extract_documents_fused(pages_df: DataFrame, threshold: int = 250) -> DataFr
     """
     if threshold != 250:
         raise ValueError("fused variant pins the frozen-spec threshold (250)")
-    parsed = pages_df.withColumn("r", parse_any_udf("html", "text"))
+    fused_udf = parse_any_udf if not pdf_password else make_parse_any_udf(pdf_password)
+    parsed = pages_df.withColumn("r", fused_udf("html", "text"))
     r = F.col("r")
     pages_arr = F.split(r["raw"], PAGE_SEP)
     pdf_doc = normalize_extracted(

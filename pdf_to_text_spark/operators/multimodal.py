@@ -361,9 +361,11 @@ def pdf_embedded_images(
     ``decode_media_features``). With ``decode=True``, JPEG payloads are
     pixel-decoded by the repo's own baseline/progressive codec
     (``core/jpegcodec.py``) and ``mean_luma`` carries the rounded mean
-    luminance — the hook the image near-dup tier consumes. Row-level
-    tolerance: unparseable PDFs or unsupported image codecs (JPX, JBIG2,
-    CCITT) emit one (image_no=0, extract_error) row.
+    luminance — the hook the image near-dup tier consumes; CCITT Group 4
+    bitonal scans decode to packed 1-bpc rows (``core/ccittfax.py``) and
+    get a bit-mean luma. Row-level tolerance: unparseable PDFs or
+    unsupported image codecs (JPX, JBIG2, CCITT Group 3) emit one
+    (image_no=0, extract_error) row.
 
     Reference parity: generalizes the reference's page-level rasterize
     hop (``core_document_processing.py:60-66``) to first-class image
@@ -402,6 +404,23 @@ def pdf_embedded_images(
                             int(round(sum(im["data"]) / len(im["data"])))
                             if im["data"] else None
                         )
+                    elif decode and im["codec"] == "raw" and im["bpc"] == 1:
+                        # packed bitonal rows (e.g. CCITT G4), byte-
+                        # aligned per row; 1 bits are white (§7.4.6
+                        # BlackIs1 default) — mean over REAL pixels only,
+                        # the row-padding bits are excluded
+                        try:
+                            import numpy as np
+
+                            w, h = im["width"], im["height"]
+                            rb = (w + 7) // 8
+                            arr = np.unpackbits(
+                                np.frombuffer(im["data"], np.uint8).reshape(h, rb),
+                                axis=1,
+                            )[:, :w]
+                            luma = int(round(float(arr.mean()) * 255))
+                        except Exception:  # noqa: BLE001 — meta survives
+                            luma = None
                     rows.append({
                         "url": uid, "image_no": i, "obj": im["obj"],
                         "width": im["width"], "height": im["height"],

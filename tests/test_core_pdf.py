@@ -608,3 +608,202 @@ def test_notch8_serial_fast_path_identity():
         iv = bytes(rng.randrange(256) for _ in range(16))
         data = bytes(rng.randrange(256) for _ in range(320))
         assert cbc_decrypt_nopad(k, iv, _cbc_encrypt_serial(k, iv, data)) == data
+
+
+# ---------------------------------------------------- notch 9: CCITT G4
+
+
+def _g4_pack(bitmap, columns, black_is_1=False):
+    """Reference packing of a 1=black bitmap into PDF 1-bpc samples."""
+    rb = (columns + 7) // 8
+    out = bytearray()
+    for row in bitmap:
+        rowb = bytearray(rb)
+        for j in range(columns):
+            bit = 1 if row[j] else 0
+            if not black_is_1:
+                bit ^= 1
+            if bit:
+                rowb[j >> 3] |= 0x80 >> (j & 7)
+        out += rowb
+    return bytes(out)
+
+
+def test_notch9_g4_table_structure():
+    """The shared MH run table (disclosed shared constant — see
+    core/ccittfax.py docstring) is structurally spec-shaped: complete,
+    prefix-free per decode space, widths in the T.4 ranges."""
+    from pdf_to_text_spark.core import ccittfax as C
+
+    assert sorted(C.WHITE_TERM) == list(range(64))
+    assert sorted(C.BLACK_TERM) == list(range(64))
+    assert sorted(C.WHITE_MAKEUP) == list(range(64, 1729, 64))
+    assert sorted(C.BLACK_MAKEUP) == list(range(64, 1729, 64))
+    assert sorted(C.EXT_MAKEUP) == list(range(1792, 2561, 64))
+
+    def prefix_free(codes):
+        codes = sorted(codes)
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), (a, b)
+
+    white = list(C.WHITE_TERM.values()) + list(C.WHITE_MAKEUP.values()) + list(
+        C.EXT_MAKEUP.values()
+    )
+    black = list(C.BLACK_TERM.values()) + list(C.BLACK_MAKEUP.values()) + list(
+        C.EXT_MAKEUP.values()
+    )
+    assert len(set(white)) == len(white) and len(set(black)) == len(black)
+    prefix_free(white)
+    prefix_free(black)
+    # mode-code space: V/H/P plus the EOL prefix '0000000'
+    modes = list(C._VCODES.values()) + [C._PASS, C._HORIZ, "0000000"]
+    assert len(set(modes)) == len(modes)
+    prefix_free(modes)
+    # spec width envelopes
+    assert all(4 <= len(b) <= 8 for b in C.WHITE_TERM.values())
+    assert all(2 <= len(b) <= 12 for b in C.BLACK_TERM.values())
+    assert all(len(b) <= 13 for b in C.BLACK_MAKEUP.values())
+
+
+@pytest.mark.parametrize("columns", [1, 7, 8, 17, 64, 200])
+def test_notch9_g4_codec_roundtrip_patterns(columns):
+    from pdf_to_text_spark.core.ccittfax import decode_g4, encode_g4
+
+    pats = [
+        [[0] * columns for _ in range(3)],                      # all white
+        [[1] * columns for _ in range(3)],                      # all black
+        [[(j // 2) % 2 for j in range(columns)]] * 4,           # stripes
+        [[(i + j) % 2 for j in range(columns)] for i in range(5)],  # checker
+        [[1 if j < i else 0 for j in range(columns)] for i in range(6)],
+    ]
+    for bm in pats:
+        enc = encode_g4(bm, columns)
+        for b1 in (False, True):
+            assert decode_g4(enc, columns, rows=len(bm), black_is_1=b1) == _g4_pack(
+                bm, columns, b1
+            ), (columns, b1)
+        # EOFB termination path (no /Rows)
+        assert decode_g4(enc, columns) == _g4_pack(bm, columns, False)
+
+
+def test_notch9_g4_long_runs_and_random():
+    """Make-up codes incl. the shared 1792–2560 extensions and multi-
+    make-up runs (> 2623), plus seeded random bitmaps."""
+    import random
+
+    from pdf_to_text_spark.core.ccittfax import decode_g4, encode_g4
+
+    for columns in (1800, 2600, 3000):
+        bm = [[0] * columns, [1] * columns]
+        # a lone black pixel forces a horizontal long white run
+        row = [0] * columns
+        row[columns - 1] = 1
+        bm.append(row)
+        enc = encode_g4(bm, columns)
+        assert decode_g4(enc, columns, rows=len(bm)) == _g4_pack(bm, columns)
+    rng = random.Random(20260817)
+    for trial in range(8):
+        columns = rng.randrange(1, 300)
+        rows = rng.randrange(1, 12)
+        bm = [[rng.randrange(2) for _ in range(columns)] for _ in range(rows)]
+        enc = encode_g4(bm, columns)
+        assert decode_g4(enc, columns, rows=rows) == _g4_pack(bm, columns), trial
+
+
+def test_notch9_g4_image_xobject_end_to_end():
+    """Generator → /CCITTFaxDecode XObject → parser → codec: the
+    decoded packed samples equal the source bitmap exactly."""
+    from pdf_to_text_spark.core.ccittfax import encode_g4
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    w, h = 40, 16
+    bm = [[1 if i < 4 else 0 for _ in range(w)] for i in range(h)]  # black bar
+    g4 = encode_g4(bm, w)
+    content = page_content_stream(LINES) + f"\nq {w} 0 0 {h} 72 600 cm /Im0 Do Q".encode()
+    pdf = build_pdf([content], flate=True, images=[(w, h, g4, "g4")])
+    assert b"/CCITTFaxDecode" in pdf and b"/K -1" in pdf
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 1
+    im = imgs[0]
+    assert (im["codec"], im["bpc"], im["width"], im["height"]) == ("raw", 1, w, h)
+    assert im["data"] == _g4_pack(bm, w)
+    # text layer is untouched by the image object
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_notch9_g4_composes_with_encryption():
+    from pdf_to_text_spark.core.ccittfax import encode_g4
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    w, h = 24, 8
+    bm = [[(i + j) % 2 for j in range(w)] for i in range(h)]
+    pdf = build_pdf(
+        [page_content_stream(LINES)],
+        flate=True, encrypt=2, images=[(w, h, encode_g4(bm, w), "g4")],
+    )
+    im = extract_pdf_images(pdf)[0]
+    assert im["codec"] == "raw" and im["data"] == _g4_pack(bm, w)
+
+
+def test_notch9_boundaries():
+    """Group 3 and the remaining scan codecs stay clean PdfError rows."""
+    from pdf_to_text_spark.core.ccittfax import encode_g4
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    w, h = 16, 4
+    g4 = encode_g4([[0] * w for _ in range(h)], w)
+    pdf = build_pdf([page_content_stream(LINES)], images=[(w, h, g4, "g4")])
+    g3 = pdf.replace(b"/K -1", b"/K 0")
+    with pytest.raises(PdfError, match="Group 3"):
+        extract_pdf_images(g3)
+    for codec in (b"/JPXDecode", b"/JBIG2Decode"):
+        bad = pdf.replace(b"/CCITTFaxDecode", codec)
+        with pytest.raises(PdfError, match="unsupported"):
+            extract_pdf_images(bad)
+
+
+# ------------------------------------- round-5 item 6: user passwords
+
+
+@pytest.mark.parametrize("r", [2, 3, 4, 6])
+def test_user_password_roundtrip_all_handlers(r):
+    """Non-empty user password on all handlers (RC4-40, RC4-128,
+    AES-128, AES-256): correct password decrypts, empty/wrong password
+    stays a disclosed error row."""
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
+
+    pw = b"s3cret pa55word"
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, encrypt=r, user_pw=pw
+    )
+    assert extract_pdf_pages(pdf, password=pw) == ["\n".join(LINES)]
+    assert extract_pdf_pages(pdf, password=pw.decode()) == ["\n".join(LINES)]
+    pages, err = extract_pdf_pages_safe(pdf)  # empty password
+    assert pages is None and "password" in err
+    pages, err = extract_pdf_pages_safe(pdf, password=b"wrong")
+    assert pages is None and err == "wrong user password"
+    # empty-password documents still open with no password argument
+    open_pdf = build_pdf([page_content_stream(LINES)], flate=True, encrypt=r)
+    assert extract_pdf_pages(open_pdf) == ["\n".join(LINES)]
+    # ... and ignore a supplied password only if it matches; a stray
+    # password against an empty-password file is a wrong password
+    pages, err = extract_pdf_pages_safe(open_pdf, password=b"stray")
+    assert pages is None and err == "wrong user password"
+
+
+def test_user_password_image_xobjects():
+    from pdf_to_text_spark.core.ccittfax import encode_g4
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    w, h = 16, 4
+    bm = [[1] * w for _ in range(h)]
+    pw = b"imgpw"
+    pdf = build_pdf(
+        [page_content_stream(LINES)],
+        flate=True, encrypt=4, user_pw=pw,
+        images=[(w, h, encode_g4(bm, w), "g4")],
+    )
+    with pytest.raises(PdfError, match="password"):
+        extract_pdf_images(pdf)
+    im = extract_pdf_images(pdf, password=pw)[0]
+    assert im["data"] == _g4_pack(bm, w)

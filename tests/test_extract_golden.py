@@ -71,12 +71,12 @@ def test_row_level_error_tolerance(pages_df):
 
 
 def test_extended_corpus_byte_identity(spark, tmp_path_factory):
-    """Golden byte-identity over the round-4 widened-subset classes
+    """Golden byte-identity over the full widened-subset class list
     (pdf_modern: ObjStm + CID/ToUnicode + /Contents arrays + nested
     trees; pdf_legacy_filters: LZW / ASCII85+Flate / RLE / ASCIIHex;
-    pdf_predictor: TIFF/PNG predictors; pdf_encrypted: RC4 Standard
-    handler). Separate corpus so the default bench mix stays
-    comparable."""
+    pdf_predictor: TIFF/PNG predictors; pdf_encrypted and pdf_15_pure
+    are in the DEFAULT mix since round 5 — the extended corpus adds the
+    remaining correctness-only classes on top)."""
     from pdf_to_text_spark.fixtures import ROW_CLASSES_EXTENDED, write_corpus
 
     d = tmp_path_factory.mktemp("corpus_ext")

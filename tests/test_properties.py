@@ -44,7 +44,11 @@ def test_normalize_output_invariants(s):
     assert not out.startswith((" ", "\n", "\t"))
     assert not out.endswith((" ", "\n", "\t"))
     assert "\n\n\n" not in out
-    assert "  " not in out.replace("\n", " x ")  # no double horizontal spaces
+    # no double horizontal spaces; replacement must not introduce spaces
+    # itself, or legal "\n\n" (F3 collapses 3+ newlines to exactly two,
+    # reference core_document_processing.py:185-194) manufactures "  ".
+    # Falsifying example pinned by round-4 judge: '0\n\n0'.
+    assert "  " not in out.replace("\n", "x")
 
 
 @given(text_strategy)

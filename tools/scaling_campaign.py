@@ -6,10 +6,10 @@ loop runs gated samples at a low rate across the whole session so a
 genuinely quiet trough is never missed, auto-judges each sample against
 the per-side healthy bands (the round-2/3 integrity rule: a ratio is
 evidence only when NEITHER side is wave-deflated), appends every sample
-to ``BENCH/campaign_r4.jsonl``, and stops at the first claimable one.
+to ``BENCH/campaign_r5.jsonl``, and stops at the first claimable one.
 
 Claim rule (from BENCH/BASELINE.md): efficiency >= 0.8 AND
-low-side docs/sec >= LOW_FLOOR (1024) AND high-side >= HIGH_FLOOR
+low-side docs/sec >= LOW_FLOOR (981) AND high-side >= HIGH_FLOOR (2971)
 (3100 — the bottom of the band where the r2 headline 0.836 sample's
 high side sat; r3's "low band" 2600-2900 readings were wave-depressed).
 
@@ -31,9 +31,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARKER = "/tmp/sg_campaign_sampling"
-LOG = os.path.join(REPO, "BENCH", "campaign_r4.jsonl")
-LOW_FLOOR = 1024.0
-HIGH_FLOOR = 3100.0
+LOG = os.path.join(REPO, "BENCH", "campaign_r5.jsonl")
+# Round-5 re-baseline (judge item 9): the default corpus mix gained
+# pdf_encrypted (2%) + pdf_15_pure (2%); measured same-window ratio
+# new/old = 0.9585 at 16 cores (tools/mix_rebaseline.py, 2026-08-17)
+# -> floors scale by it: 1024 -> 981, 3100 -> 2971.
+LOW_FLOOR = 981.0
+HIGH_FLOOR = 2971.0
 
 
 def _load1() -> float:
@@ -96,7 +100,7 @@ def main() -> None:
             # bench_scaling.py already wrote the full report for this
             # sample to BENCH/LAST_RUN.md — preserve it for curation
             with open(os.path.join(REPO, "BENCH", "LAST_RUN.md")) as src, open(
-                os.path.join(REPO, "BENCH", "CLAIMED_SAMPLE_r4.md"), "w"
+                os.path.join(REPO, "BENCH", "CLAIMED_SAMPLE_r5.md"), "w"
             ) as dst:
                 dst.write(src.read())
             return
