@@ -541,31 +541,38 @@ def build_pdf(
         import hashlib
 
         r_ = encrypt
-        nbits = 40 if r_ == 2 else (256 if r_ == 6 else 128)
+        nbits = 40 if r_ == 2 else (256 if r_ >= 5 else 128)
         klen = nbits // 8
         p_ = -44  # print + copy denied: a typical permissions mask
         id0 = hashlib.md5(
             b"".join(objs[k][:64] for k in sorted(objs))
         ).digest()
-        if r_ == 6:
+        if r_ >= 5:
             # AES-256 (ISO 32000-2 §7.6.4): deterministic salts + file
-            # key from the document ID; /U = 2.B-hash || salts, /UE
-            # wraps the file key; owner entries absorb /U as udata
+            # key from the document ID; /U = KDF-hash || salts, /UE
+            # wraps the file key; owner entries absorb /U as udata.
+            # /R 6 uses the hardened 2.B KDF; /R 5 (deprecated Adobe
+            # ExtensionLevel 3) a single SHA-256(pw || salt || udata).
             from pdf_to_text_spark.core.aescipher import (
                 cbc_encrypt_nopad,
                 encrypt_block,
                 pdf_hash_2b,
             )
 
+            hfn = (
+                pdf_hash_2b
+                if r_ == 6
+                else (lambda pw, s, u: hashlib.sha256(pw + s + u).digest())
+            )
             key = hashlib.sha256(b"filekey" + id0).digest()
             vs = hashlib.md5(b"vs" + id0).digest()[:8]
             ks_ = hashlib.md5(b"ks" + id0).digest()[:8]
-            u_ = pdf_hash_2b(user_pw, vs, b"") + vs + ks_
-            ue_ = cbc_encrypt_nopad(pdf_hash_2b(user_pw, ks_, b""), bytes(16), key)
+            u_ = hfn(user_pw, vs, b"") + vs + ks_
+            ue_ = cbc_encrypt_nopad(hfn(user_pw, ks_, b""), bytes(16), key)
             ovs = hashlib.md5(b"ovs" + id0).digest()[:8]
             oks = hashlib.md5(b"oks" + id0).digest()[:8]
-            o_ = pdf_hash_2b(owner_pw, ovs, u_) + ovs + oks
-            oe_ = cbc_encrypt_nopad(pdf_hash_2b(owner_pw, oks, u_), bytes(16), key)
+            o_ = hfn(owner_pw, ovs, u_) + ovs + oks
+            oe_ = cbc_encrypt_nopad(hfn(owner_pw, oks, u_), bytes(16), key)
             perms_ = encrypt_block(
                 key,
                 (p_ & 0xFFFFFFFF).to_bytes(4, "little")
@@ -582,14 +589,14 @@ def build_pdf(
             lm = re.search(rb"/Length\s+(\d+)", head)
             start = sm + len(b"\nstream\n")
             ln = int(lm.group(1))
-            if r_ == 6:
+            if r_ >= 5:
                 okey = key  # AESV3: the file key, no per-object derivation
             else:
                 salt = b"sAlT" if r_ == 4 else b""
                 okey = hashlib.md5(
                     key + num.to_bytes(3, "little") + (0).to_bytes(2, "little") + salt
                 ).digest()[: min(klen + 5, 16)]
-            if r_ in (4, 6):
+            if r_ in (4, 5, 6):
                 from pdf_to_text_spark.core.aescipher import cbc_encrypt
 
                 iv = hashlib.md5(b"iv" + num.to_bytes(3, "little") + id0).digest()
@@ -609,9 +616,9 @@ def build_pdf(
                     + body[start + ln :]
                 )
         enc_num = max(objs) + 1
-        if r_ == 6:
+        if r_ >= 5:
             objs[enc_num] = (
-                f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p_} "
+                f"<< /Filter /Standard /V 5 /R {r_} /Length 256 /P {p_} "
                 f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
                 f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
                 f"/O <{o_.hex()}> /U <{u_.hex()}> "

@@ -645,15 +645,26 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes], password: bytes = b""
         # 2.B), 48-byte /U = hash || validation salt || key salt, file
         # key unwrapped from /UE; streams use the FILE key directly
         # (no per-object derivation), AES-256-CBC with IV prefix.
-        if r != 6:
+        # /R 5 is the deprecated Adobe ExtensionLevel-3 revision: same
+        # structure, but the KDF is a single SHA-256(password || salt)
+        # — no 2.B iteration (round-5 widening; real-world files from
+        # Acrobat 9-era writers).
+        if r not in (5, 6):
             raise PdfError(f"unsupported AES-256 revision /R {r}")
+        import hashlib as _hl
+
         from pdf_to_text_spark.core.aescipher import cbc_decrypt_nopad, pdf_hash_2b
 
+        hfn = (
+            pdf_hash_2b
+            if r == 6
+            else (lambda pw, salt, udata: _hl.sha256(pw + salt + udata).digest())
+        )
         u_entry = _str_entry(enc, b"U")
         if len(u_entry) < 48:
             raise PdfError("AES-256 /U entry too short")
         vsalt, ksalt = u_entry[32:40], u_entry[40:48]
-        if pdf_hash_2b(password, vsalt, b"") != u_entry[:32]:
+        if hfn(password, vsalt, b"") != u_entry[:32]:
             raise PdfError(
                 "encrypted document requires a user password"
                 if not password else "wrong user password"
@@ -661,7 +672,7 @@ def _decrypt_in_place(data: bytes, objs: dict[int, bytes], password: bytes = b""
         ue = _str_entry(enc, b"UE")
         if len(ue) < 32:
             raise PdfError("AES-256 /UE entry too short")
-        file_key = cbc_decrypt_nopad(pdf_hash_2b(password, ksalt, b""), bytes(16), ue[:32])
+        file_key = cbc_decrypt_nopad(hfn(password, ksalt, b""), bytes(16), ue[:32])
         _decrypt_streams(objs, enc_num, file_key, aes=True, per_object=False)
         return
     aes = False
@@ -899,6 +910,30 @@ def _tokenize(content: bytes):
                 m = _OP_RE.match(content, i)
                 if not m:
                     raise PdfError(f"bad content token at {i}")
+                if m.group(0) == b"BI":
+                    # §8.9.7 inline image: BI <pairs> ID <binary> EI.
+                    # The binary payload is NOT token-syntax — without
+                    # this skip it would tokenize as garbage (or fake
+                    # text). Data starts one whitespace byte after ID;
+                    # EI must be delimiter-bounded on both sides.
+                    idm = re.compile(rb"\bID[\r\n ]").search(content, m.end())
+                    if idm is None:
+                        raise PdfError("inline image missing ID")
+                    j = idm.end()
+                    while True:
+                        j = content.find(b"EI", j)
+                        if j == -1:
+                            raise PdfError("inline image missing EI")
+                        before = content[j - 1 : j]
+                        after = content[j + 2 : j + 3]
+                        if (
+                            before and before[0] in _WS_BYTES
+                            and (after == b"" or after[0] in _WS_BYTES)
+                        ):
+                            break
+                        j += 2
+                    i = j + 2
+                    continue
                 tok = emit(("op", m.group(0)))
                 if tok:
                     yield tok

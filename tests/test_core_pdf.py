@@ -586,10 +586,48 @@ def test_notch8_aes256_boundaries():
     bad = pdf.replace(b"/U <", b"/U <ffff")
     pages, err = extract_pdf_pages_safe(bad)
     assert pages is None and "password" in err
-    # the deprecated /R 5 variant is a disclosed boundary
+    # an R6 file MISLABELED /R 5 fails the (different) R5 KDF check —
+    # disclosed as a password error, never a mis-decrypt
     r5 = pdf.replace(b"/V 5 /R 6", b"/V 5 /R 5")
     pages, err = extract_pdf_pages_safe(r5)
+    assert pages is None and "password" in err
+    # unknown future revisions stay a disclosed boundary
+    r7 = pdf.replace(b"/V 5 /R 6", b"/V 5 /R 7")
+    pages, err = extract_pdf_pages_safe(r7)
     assert pages is None and "revision" in err
+
+
+def test_r5_deprecated_aes256_roundtrip():
+    """/R 5 (Adobe ExtensionLevel 3, Acrobat-9-era): single-SHA-256 KDF
+    instead of 2.B; structure otherwise identical to /R 6. Round-5
+    widening — closes a disclosed boundary."""
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
+
+    pdf = build_pdf([page_content_stream(LINES)], flate=True, encrypt=5)
+    assert b"/V 5 /R 5" in pdf and b"/AESV3" in pdf
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+    # with a user password on the R5 KDF
+    pw = b"acrobat9"
+    pdfp = build_pdf([page_content_stream(LINES)], flate=True, encrypt=5, user_pw=pw)
+    assert extract_pdf_pages(pdfp, password=pw) == ["\n".join(LINES)]
+    pages, err = extract_pdf_pages_safe(pdfp)
+    assert pages is None and "password" in err
+
+
+def test_inline_image_skipped_in_content():
+    """§8.9.7 BI/ID/EI inline images: the binary payload (which may
+    contain bytes that look like operators, strings, or even 'EI'
+    without delimiters) must not tokenize as garbage or fake text."""
+    payload = bytes(range(256)) + b"(fake Tj) EInotEI \x00\xff" + b"EI"  # traps
+    img = b"\nBI /W 4 /H 4 /BPC 8 /CS /G /F /AHx ID " + payload + b" EI\n"
+    # image between two text blocks of the SAME page content stream
+    content = page_content_stream(LINES) + img + b"q 1 0 0 1 0 0 cm Q"
+    pdf = build_pdf([content], flate=True)
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+    # missing EI is a clean PdfError, not a hang or garbage text
+    bad = page_content_stream(LINES) + b"\nBI /W 2 ID \x01\x02\x03"
+    with pytest.raises(PdfError, match="inline image"):
+        extract_pdf_pages(build_pdf([bad]))
 
 
 def test_notch8_serial_fast_path_identity():
@@ -765,7 +803,7 @@ def test_notch9_boundaries():
 # ------------------------------------- round-5 item 6: user passwords
 
 
-@pytest.mark.parametrize("r", [2, 3, 4, 6])
+@pytest.mark.parametrize("r", [2, 3, 4, 5, 6])
 def test_user_password_roundtrip_all_handlers(r):
     """Non-empty user password on all handlers (RC4-40, RC4-128,
     AES-128, AES-256): correct password decrypts, empty/wrong password
