@@ -192,6 +192,100 @@ def encode_g4(bitmap, columns: int) -> bytes:
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
+# ------------------------------------------------------- Group 3 1-D
+
+def encode_g3_1d(bitmap, columns: int, with_eol: bool = True) -> bytes:
+    """T.4 one-dimensional MH coding (PDF ``/K 0``): each line is the
+    alternating white/black run lengths, white first; optional EOL
+    before each line (writers vary — PDF readers must accept both)."""
+    bits: list[str] = []
+    for row in bitmap:
+        if with_eol:
+            bits.append(_EOL)
+        trans = _transitions(row) + [columns]
+        pos, white = 0, True
+        for t in trans:
+            bits.append(_run_code(t - pos, white))
+            pos, white = t, not white
+        if pos < columns:
+            bits.append(_run_code(columns - pos, white))
+    if with_eol:
+        bits.append(_EOL * 6)  # RTC
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def decode_g3_1d(
+    data: bytes, columns: int, rows: int | None = None, black_is_1: bool = False
+) -> bytes:
+    """Decode T.4 1-D MH (``/K 0``) to packed 1-bpc byte-aligned rows,
+    same sample contract as ``decode_g4``. EOLs between lines are
+    tolerated wherever they appear; decoding stops after ``rows`` lines
+    when given, else at RTC/exhaustion."""
+    if columns <= 0:
+        raise PdfError("G3 columns must be positive")
+    br = _BitReader(data)
+    out = bytearray()
+    rowbytes = (columns + 7) // 8
+    n_rows = 0
+
+    def _skip_eols() -> None:
+        """Consume any EOL(s) incl. legal 0-fill bits before them
+        (§4.1.2: writers may pad so EOL ends on a byte boundary)."""
+        while True:
+            save = br.pos
+            zeros, saw_one = 0, False
+            while br.pos < br.n and zeros <= 64:
+                if br.bit():
+                    saw_one = True
+                    break
+                zeros += 1
+            if saw_one and zeros >= 11:
+                continue  # fill + EOL consumed; loop for RTC runs
+            br.pos = save
+            return
+
+    def _only_padding() -> bool:
+        """True when what remains cannot be a line: every MH code
+        contains a 1 bit, so an all-zero tail (< 8 bits of byte
+        padding, or RTC remnants) is end-of-data."""
+        rem = br.n - br.pos
+        if rem == 0:
+            return True
+        if rem >= 12:
+            return False
+        save = br.pos
+        allz = all(br.bit() == 0 for _ in range(rem))
+        br.pos = save
+        return allz
+
+    while rows is None or n_rows < rows:
+        _skip_eols()
+        if _only_padding():
+            break
+        pos, white = 0, True
+        rowbits = bytearray(rowbytes)
+        while pos < columns:
+            run = _read_run(br, white)
+            if not white:
+                for j in range(pos, min(pos + run, columns)):
+                    rowbits[j >> 3] |= 0x80 >> (j & 7)
+            pos += run
+            white = not white
+        if pos != columns:
+            raise PdfError("G3 line overruns declared columns")
+        if not black_is_1:
+            mask_last = (0xFF << (-columns % 8)) & 0xFF if columns % 8 else 0xFF
+            for j in range(rowbytes):
+                rowbits[j] ^= 0xFF if j < rowbytes - 1 else mask_last
+        out += rowbits
+        if len(out) > (256 << 20):
+            raise PdfError("g3 output exceeds decode cap")
+        n_rows += 1
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decode
 
 class _BitReader:

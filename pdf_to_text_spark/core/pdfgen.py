@@ -417,14 +417,15 @@ def build_pdf(
         refs = " ".join(f"/Im{i} {img_base + i} 0 R" for i in range(len(images)))
         xobj_entry = f" /XObject << {refs} >>"
         for i, img in enumerate(images):
-            if len(img) == 4 and img[3] == "g4":
-                # bitonal scan shape: Group 4 (T.6) with explicit
-                # /DecodeParms — /K -1 selects pure 2-D coding (§7.4.6)
+            if len(img) == 4 and img[3] in ("g4", "g3"):
+                # bitonal scan shape: CCITT with explicit /DecodeParms
+                # — /K -1 = Group 4 pure 2-D, /K 0 = Group 3 1-D MH
                 iw, ih, payload = img[0], img[1], img[2]
+                k = -1 if img[3] == "g4" else 0
                 objs[img_base + i] = (
                     f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
                     f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-                    f"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                    f"/Filter /CCITTFaxDecode /DecodeParms << /K {k} "
                     f"/Columns {iw} /Rows {ih} /BlackIs1 false >> "
                     f"/Length {len(payload)} >>".encode()
                     + b"\nstream\n" + payload + b"\nendstream"

@@ -414,11 +414,13 @@ def _apply_filters(
                 raise PdfError(f"flate decode failed: {e}") from e
         elif name == b"CCITTFaxDecode":
             p = parm or {}
-            if p.get("K", 0) >= 0:  # Group 3 — disclosed boundary
-                raise PdfError("unsupported CCITTFax /K >= 0 (Group 3)")
-            from pdf_to_text_spark.core.ccittfax import decode_g4
+            k = p.get("K", 0)
+            if k > 0:  # G3 mixed 1-D/2-D — disclosed boundary
+                raise PdfError("unsupported CCITTFax /K > 0 (Group 3 2-D)")
+            from pdf_to_text_spark.core.ccittfax import decode_g3_1d, decode_g4
 
-            data = decode_g4(
+            dec = decode_g4 if k < 0 else decode_g3_1d
+            data = dec(
                 data,
                 columns=p.get("Columns", 1728),
                 rows=p.get("Rows"),
@@ -1281,19 +1283,7 @@ def extract_pdf_pages(data: bytes, password: bytes | str = b"") -> list[str]:
     _expand_object_streams(objs, obj_pos)
     # root: the Catalog's /Pages ref; fallback to the first /Type /Pages
     # object for catalog-less fragments
-    root_num = None
-    for n_, b in objs.items():
-        if b"/Type /Catalog" in b:
-            rm = _ROOT_PAGES_RE.search(b)
-            if rm:
-                root_num = int(rm.group(1))
-            break
-    if root_num is None:
-        root_num = next(
-            (n_ for n_, b in objs.items()
-             if b.lstrip().startswith(b"<<") and _TYPE_PAGES_RE.search(b)),
-            None,
-        )
+    root_num = _root_pages_num(objs)
     if root_num is None:
         raise PdfError("no /Pages object")
     texts: list[str] = []
@@ -1409,4 +1399,149 @@ def extract_pdf_images(data: bytes, password: bytes | str = b"") -> list[dict]:
                 "data": payload,
             }
         )
+    # inline images (§8.9.7 BI/ID/EI) from page content streams, in
+    # page order after all XObjects; obj=0 marks the inline origin
+    root = _root_pages_num(objs)
+    if root is not None:
+        for pnum in _collect_leaf_pages(objs, root, set(), 0):
+            content = _page_content(objs, objs[pnum])
+            if content:
+                out.extend(_inline_images(content))
     return out
+
+
+# §8.9.7 Table 93: inline-image dictionary key + value abbreviations
+_BI_DELIMS = frozenset(b" \t\r\n\f\x00()<>[]{}/%")
+_BI_INT_RE = {
+    "width": re.compile(rb"/(?:W|Width)\s+(\d+)"),
+    "height": re.compile(rb"/(?:H|Height)\s+(\d+)"),
+    "bpc": re.compile(rb"/(?:BPC|BitsPerComponent)\s+(\d+)"),
+}
+_BI_CS_RE = re.compile(rb"/(?:CS|ColorSpace)\s*/(\w+)")
+_BI_F_RE = re.compile(rb"/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_BI_CS_MAP = {b"G": "DeviceGray", b"RGB": "DeviceRGB", b"CMYK": "DeviceCMYK"}
+_BI_F_MAP = {
+    b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode", b"LZW": b"LZWDecode",
+    b"Fl": b"FlateDecode", b"RL": b"RunLengthDecode", b"CCF": b"CCITTFaxDecode",
+    b"DCT": b"DCTDecode",
+}
+
+
+def _inline_images(content: bytes) -> list[dict]:
+    """All BI/ID/EI inline images in one decoded content stream, in
+    stream order — same row shape as the XObject path (obj=0). The
+    abbreviated dict keys/values of §8.9.7 Table 93/94 are expanded to
+    their full forms so the ONE filter pipeline (``_apply_filters``,
+    incl. CCITT G4/G3-1D and predictor handling) serves both paths.
+    The scan is CONTEXT-AWARE — string literals, dictionaries and hex
+    strings are skipped, and BI must sit in operator position — so a
+    page whose TEXT contains the word "BI" never false-positives."""
+    out: list[dict] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( string — skip with escapes + nesting
+            depth, j = 1, i + 1
+            while j < n and depth:
+                ch = content[j]
+                if ch == 0x5C:
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                j += 1
+            i = j
+            continue
+        if c == 0x3C:  # < : dict or hex string — skip
+            if content[i + 1 : i + 2] == b"<":
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    if content[j : j + 2] == b"<<":
+                        depth += 1
+                        j += 2
+                    elif content[j : j + 2] == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                i = j
+            else:
+                j = content.find(b">", i + 1)
+                i = n if j == -1 else j + 1
+            continue
+        if not (
+            content[i : i + 2] == b"BI"
+            and (i == 0 or content[i - 1] in _BI_DELIMS)
+            and (i + 2 >= n or content[i + 2] in _BI_DELIMS)
+        ):
+            i += 1
+            continue
+        idm = re.compile(rb"\bID[\r\n ]").search(content, i + 2)
+        if idm is None:
+            raise PdfError("inline image missing ID")
+        head = content[i + 2 : idm.start()]
+        j = idm.end()
+        while True:
+            j = content.find(b"EI", j)
+            if j == -1:
+                raise PdfError("inline image missing EI")
+            before = content[j - 1 : j]
+            after = content[j + 2 : j + 3]
+            if before and before[0] in _WS_BYTES and (after == b"" or after[0] in _WS_BYTES):
+                break
+            j += 2
+        raw = content[idm.end() : j]
+        i = j + 2
+        meta = {
+            k: int(r.search(head).group(1))
+            for k, r in _BI_INT_RE.items()
+            if r.search(head)
+        }
+        if "width" not in meta or "height" not in meta:
+            raise PdfError("inline image missing /W or /H")
+        fm = _BI_F_RE.search(head)
+        chain = [
+            _BI_F_MAP.get(n, n) for n in _FILTER_NAME_RE.findall(fm.group(1))
+        ] if fm else []
+        # binary payload convention: one whitespace after ID, one before
+        # EI — strip the trailing separator our scan included
+        if raw[-1:] in (b" ", b"\r", b"\n", b"\t"):
+            raw = raw[:-1]
+        parms = _decode_parms(head, len(chain))
+        if chain and chain[-1] == b"DCTDecode":
+            payload = _apply_filters(head, raw, chain=chain[:-1], parms=parms[:-1])
+            codec = "jpeg"
+        else:
+            payload = _apply_filters(head, raw, chain=chain, parms=parms)
+            codec = "raw"
+        csm = _BI_CS_RE.search(head)
+        cs = csm.group(1) if csm else b"G"
+        out.append(
+            {
+                "obj": 0,
+                "width": meta["width"],
+                "height": meta["height"],
+                "bpc": meta.get("bpc", 8),
+                "colorspace": _BI_CS_MAP.get(cs, cs.decode()),
+                "codec": codec,
+                "data": payload,
+            }
+        )
+    return out
+
+
+def _root_pages_num(objs: dict[int, bytes]) -> int | None:
+    """The root /Pages object number (Catalog-first, fallback scan)."""
+    for _, b in objs.items():
+        if b"/Type /Catalog" in b:
+            rm = _ROOT_PAGES_RE.search(b)
+            if rm:
+                return int(rm.group(1))
+            break
+    return next(
+        (n_ for n_, b in objs.items()
+         if b.lstrip().startswith(b"<<") and _TYPE_PAGES_RE.search(b)),
+        None,
+    )

@@ -784,20 +784,62 @@ def test_notch9_g4_composes_with_encryption():
 
 
 def test_notch9_boundaries():
-    """Group 3 and the remaining scan codecs stay clean PdfError rows."""
+    """G3 2-D mixed mode and the MQ-coded codecs stay clean PdfError
+    rows (JPX/JBIG2 closed permanently — README rationale)."""
     from pdf_to_text_spark.core.ccittfax import encode_g4
     from pdf_to_text_spark.core.pdfparse import extract_pdf_images
 
     w, h = 16, 4
     g4 = encode_g4([[0] * w for _ in range(h)], w)
     pdf = build_pdf([page_content_stream(LINES)], images=[(w, h, g4, "g4")])
-    g3 = pdf.replace(b"/K -1", b"/K 0")
+    g3_2d = pdf.replace(b"/K -1", b"/K 4")
     with pytest.raises(PdfError, match="Group 3"):
-        extract_pdf_images(g3)
+        extract_pdf_images(g3_2d)
     for codec in (b"/JPXDecode", b"/JBIG2Decode"):
         bad = pdf.replace(b"/CCITTFaxDecode", codec)
         with pytest.raises(PdfError, match="unsupported"):
             extract_pdf_images(bad)
+
+
+@pytest.mark.parametrize("with_eol", [True, False])
+def test_g3_1d_codec_roundtrip(with_eol):
+    """/K 0 (T.4 one-dimensional MH): roundtrip across widths incl.
+    non-byte-aligned, long runs, and both EOL conventions."""
+    import random
+
+    from pdf_to_text_spark.core.ccittfax import decode_g3_1d, encode_g3_1d
+
+    rng = random.Random(20260818)
+    for columns in (1, 7, 64, 200, 1800):
+        pats = [
+            [[0] * columns, [1] * columns],
+            [[(i + j) % 2 for j in range(columns)] for i in range(3)],
+            [[rng.randrange(2) for _ in range(columns)] for _ in range(4)],
+        ]
+        for bm in pats:
+            enc = encode_g3_1d(bm, columns, with_eol=with_eol)
+            for b1 in (False, True):
+                assert decode_g3_1d(enc, columns, rows=len(bm), black_is_1=b1) == _g4_pack(
+                    bm, columns, b1
+                ), (columns, with_eol, b1)
+            assert decode_g3_1d(enc, columns) == _g4_pack(bm, columns)
+
+
+def test_g3_1d_image_xobject():
+    from pdf_to_text_spark.core.ccittfax import encode_g3_1d
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    w, h = 40, 6
+    bm = [[1 if (i + j) % 3 == 0 else 0 for j in range(w)] for i in range(h)]
+    pdf = build_pdf(
+        [page_content_stream(LINES)],
+        flate=True,
+        images=[(w, h, encode_g3_1d(bm, w), "g3")],
+    )
+    assert b"/K 0" in pdf
+    im = extract_pdf_images(pdf)[0]
+    assert (im["codec"], im["bpc"]) == ("raw", 1)
+    assert im["data"] == _g4_pack(bm, w)
 
 
 # ------------------------------------- round-5 item 6: user passwords
@@ -845,3 +887,46 @@ def test_user_password_image_xobjects():
         extract_pdf_images(pdf)
     im = extract_pdf_images(pdf, password=pw)[0]
     assert im["data"] == _g4_pack(bm, w)
+
+
+def test_inline_image_extraction():
+    """BI/ID/EI images surface through extract_pdf_images (obj=0),
+    sharing the one filter pipeline — AHx transport and CCF (G4) via
+    the /DP abbreviation both decode."""
+    from pdf_to_text_spark.core.ccittfax import encode_g4
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    gray = bytes(range(12))  # 4x3 8-bpc
+    ahx = gray.hex().encode() + b">"
+    w, h = 10, 4
+    bm = [[1 if j < i else 0 for j in range(w)] for i in range(h)]
+    g4 = encode_g4(bm, w)
+    content = (
+        page_content_stream(LINES)
+        + b"\nBI /W 4 /H 3 /BPC 8 /CS /G /F /AHx ID " + ahx + b" EI\n"
+        + b"BI /W " + str(w).encode() + b" /H " + str(h).encode()
+        + b" /BPC 1 /CS /G /F /CCF /DP << /K -1 /Columns "
+        + str(w).encode() + b" /Rows " + str(h).encode()
+        + b" /BlackIs1 false >> ID " + g4 + b" EI\n"
+    )
+    pdf = build_pdf([content], flate=True)
+    imgs = extract_pdf_images(pdf)
+    inline = [im for im in imgs if im["obj"] == 0]
+    assert len(inline) == 2
+    assert (inline[0]["width"], inline[0]["height"], inline[0]["bpc"]) == (4, 3, 8)
+    assert inline[0]["data"] == gray and inline[0]["codec"] == "raw"
+    assert inline[1]["data"] == _g4_pack(bm, w) and inline[1]["bpc"] == 1
+    # the text layer is unaffected
+    assert extract_pdf_pages(pdf) == ["\n".join(LINES)]
+
+
+def test_inline_scan_ignores_bi_in_text():
+    """A page whose TEXT contains the standalone word 'BI' must not
+    trip the inline-image scan in either the tokenizer or the image
+    extractor (context-aware operator-position check)."""
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    lines = ["BI is a word", "also (BI) here", "ID and EI too"]
+    pdf = build_pdf([page_content_stream(lines)], flate=True)
+    assert extract_pdf_pages(pdf) == ["\n".join(lines)]
+    assert extract_pdf_images(pdf) == []
