@@ -351,7 +351,11 @@ PDF_IMAGE_SCHEMA = (
 
 
 def pdf_embedded_images(
-    df: DataFrame, bin_col: str = "html", id_col: str = "url", decode: bool = True
+    df: DataFrame,
+    bin_col: str = "html",
+    id_col: str = "url",
+    decode: bool = True,
+    password: bytes | str = b"",
 ) -> DataFrame:
     """Embedded-image extraction from PDF payloads: every ``/Subtype
     /Image`` XObject becomes a row — 1-based image_no, dimensions,
@@ -380,7 +384,7 @@ def pdf_embedded_images(
             for uid, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data) if data is not None else b""
                 try:
-                    imgs = extract_pdf_images(data)
+                    imgs = extract_pdf_images(data, password)
                 except Exception as e:  # noqa: BLE001 — row tolerance
                     rows.append(
                         dict.fromkeys(cols)

@@ -202,3 +202,26 @@ def test_pdf_embedded_images_operator(spark):
     assert got["u3"]["image_no"] == 0 and got["u3"]["extract_error"]
     assert "u4" not in got  # zero images → zero rows, no error row
     assert len(got) == 3
+
+
+def test_pdf_embedded_images_password_and_g4(spark):
+    """Round-5: the operator passes a user password through to the
+    decryptor, and CCITT-G4 bitonal XObjects yield a bit-mean luma."""
+    from pdf_to_text_spark.core.ccittfax import encode_g4
+    from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+    from pdf_to_text_spark.operators.multimodal import pdf_embedded_images
+
+    w, h = 16, 5  # 5 | 255: exact integer luma
+    bm = [[1] * w if i < 2 else [0] * w for i in range(h)]  # 2/5 black
+    pdf = build_pdf(
+        [page_content_stream(["x"])],
+        flate=True, encrypt=4, user_pw=b"pw",
+        images=[(w, h, encode_g4(bm, w), "g4")],
+    )
+    df = spark.createDataFrame([("u1", pdf)], "url string, html binary")
+    # no password → disclosed error row
+    no_pw = pdf_embedded_images(df).collect()[0]
+    assert no_pw["image_no"] == 0 and "password" in no_pw["extract_error"]
+    # with password → decrypt + G4 decode + exact luma (3/5 white = 153)
+    ok = pdf_embedded_images(df, password=b"pw").collect()[0]
+    assert (ok["codec"], ok["mean_luma"]) == ("raw", 153)
