@@ -21,6 +21,10 @@ Frozen spec v1 (tests pin it; goldens derive from it):
 - output = kept blocks' RAW text (per-block strip of outer whitespace
   only), joined by "\n\n" — all further normalization happens in the
   Catalyst expression chain (functions/text.py), NOT here
+- bytes entry point (round-5): strict UTF-8 → declared meta charset
+  (WHATWG latin-1→cp1252 aliasing) → cp1252 → UTF-8-replace; UTF-16
+  (BOM-leading) never reaches here — the frozen router sniff admits
+  only '<'-leading payloads
 """
 
 from __future__ import annotations
@@ -124,5 +128,48 @@ def extract_main_content(html: str) -> str:
     return "\n\n".join(b.raw.strip() for b in p.blocks if _keep(b))
 
 
+# ---------------------------------------------------- charset handling
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I
+)
+
+
+def detect_charset(data: bytes) -> str:
+    """Charset of an HTML payload that is NOT valid UTF-8: the
+    ``<meta charset=…>`` / ``http-equiv`` declaration in the first 2 KB
+    (both forms end in ``charset=NAME``, one regex serves), else
+    windows-1252 — the de-facto web fallback that supersedes latin-1
+    (WHATWG encoding spec maps ISO-8859-1 labels to it) and never
+    raises on any byte."""
+    m = _META_CHARSET_RE.search(data[:2048])
+    if m is not None:
+        import codecs
+
+        label = m.group(1).decode("ascii", "replace").lower()
+        # WHATWG: latin-1 labels mean windows-1252 on the real web
+        if label in ("iso-8859-1", "latin-1", "latin1", "ascii", "us-ascii"):
+            return "windows-1252"
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            pass
+    return "windows-1252"
+
+
 def extract_main_content_bytes(data: bytes) -> str:
-    return extract_main_content(data.decode("utf-8", errors="replace"))
+    """Charset-aware entry point (round-5 widening for crawl realism):
+    strict UTF-8 first — the dominant modern web, and pure-ASCII pages
+    are identical under every candidate — then the declared meta
+    charset, then windows-1252, then UTF-8-with-replacement as the
+    never-fails floor. UTF-16 pages (BOM-leading) never reach here:
+    the frozen byte sniff routes only ``<``-leading payloads."""
+    try:
+        return extract_main_content(data.decode("utf-8"))
+    except UnicodeDecodeError:
+        pass
+    try:
+        return extract_main_content(data.decode(detect_charset(data)))
+    except (UnicodeDecodeError, LookupError):
+        return extract_main_content(data.decode("utf-8", errors="replace"))

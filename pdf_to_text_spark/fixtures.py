@@ -67,6 +67,7 @@ ROW_CLASSES_EXTENDED = ROW_CLASSES + [
     ("pdf_modern", 6),          # notch 2: ObjStm + CID/ToUnicode + /Contents arrays
     ("pdf_legacy_filters", 5),  # notch 3: LZW / ASCII85+Flate / RLE / ASCIIHex
     ("pdf_predictor", 3),       # notch 4: TIFF/PNG predictors on flate content
+    ("html_charset", 3),        # round 5: meta-declared cp1252/shift_jis pages
 ]
 
 
@@ -267,6 +268,28 @@ def make_corpus(n_rows: int, seed: int = 42, classes: list | None = None) -> lis
                 html = bytes(r.getrandbits(8) for _ in range(64))
             else:
                 html = b""
+        elif cls == "html_charset":
+            # non-UTF-8 crawl reality: meta-declared windows-1252 or
+            # shift_jis bytes (round-5 charset-aware decode)
+            if r.getrandbits(1):
+                body = (
+                    f"<p>Café résumé naïve décor — {_para(r, 4)}</p>"
+                    f"<p>{_para(r, 5)} déjà vu straße</p>"
+                )
+                page = (
+                    '<!DOCTYPE html>\n<html><head><meta charset="iso-8859-1">'
+                    f"</head><body>{body}</body></html>"
+                )
+                html = page.encode("windows-1252")
+            else:
+                body = f"<p>日本語のページ本文です。{_para(r, 4)}</p>"
+                page = (
+                    '<!DOCTYPE html>\n<html><head><meta http-equiv="Content-Type" '
+                    'content="text/html; charset=shift_jis"></head>'
+                    f"<body>{body}</body></html>"
+                )
+                html = page.encode("shift_jis")
+            lang = "xx"
         else:
             if cls == "nonenglish":
                 lang = "xx"

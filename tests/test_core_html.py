@@ -48,3 +48,60 @@ def test_br_is_newline_inside_block():
     html = "<p>first part of a sufficiently long block<br>second line of the same block</p>"
     out = extract_main_content(html)
     assert "first part of a sufficiently long block\nsecond line" in out
+
+
+# ------------------------------------------------ round-5: charsets
+
+
+def test_charset_utf8_fast_path_unchanged():
+    from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+
+    body = "<p>" + "déjà vu café naïve straße — plenty of words here now" * 2 + "</p>"
+    data = ("<html><body>" + body + "</body></html>").encode("utf-8")
+    assert "déjà vu café" in extract_main_content_bytes(data)
+
+
+def test_charset_meta_declared_latin1_means_cp1252():
+    from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+
+    text = "Résumé of the café’s naïve décor — a sufficiently long block"
+    page = (
+        '<html><head><meta charset="iso-8859-1"></head><body><p>'
+        + text + "</p></body></html>"
+    )
+    # windows-1252 superset: the ’ (U+2019) encodes as 0x92
+    data = page.encode("windows-1252")
+    out = extract_main_content_bytes(data)
+    assert "Résumé" in out and "café’s" in out
+
+
+def test_charset_http_equiv_and_shift_jis():
+    from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+
+    text = "日本語のページ本文がここに入ります。十分に長いブロックです。"
+    page = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=shift_jis"></head><body><p>'
+        + text + "</p></body></html>"
+    )
+    assert text in extract_main_content_bytes(page.encode("shift_jis"))
+
+
+def test_charset_undeclared_falls_back_cp1252():
+    from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+
+    text = "Fallback décor — no meta declaration on this long enough page"
+    data = ("<html><body><p>" + text + "</p></body></html>").encode("windows-1252")
+    assert "décor" in extract_main_content_bytes(data)
+
+
+def test_charset_bogus_label_never_raises():
+    from pdf_to_text_spark.core.htmlextract import extract_main_content_bytes
+
+    data = (
+        b'<html><head><meta charset="not-a-charset"></head><body><p>'
+        b"enough words to keep this block around for the test \xe9\xff"
+        b"</p></body></html>"
+    )
+    out = extract_main_content_bytes(data)
+    assert "enough words" in out
