@@ -121,3 +121,62 @@ def test_jpeg_roundtrip_structure_any_size(w, h, channels, seed):
 
     assert decode_jpeg(encode_jpeg(w, h, channels, px, quality=100, interleaved=False))[3] == out
     assert decode_jpeg(encode_jpeg_progressive(w, h, channels, px, quality=100))[3] == out
+
+
+@given(
+    st.integers(min_value=1, max_value=96),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_ccitt_codecs_roundtrip_property(columns, rows, seed, black_is_1):
+    """G4 (T.6) and G3 1-D (T.4) both invert their encoder exactly for
+    arbitrary bitmaps, widths (incl. non-byte-aligned) and both
+    BlackIs1 sample conventions."""
+    import random
+
+    from pdf_to_text_spark.core.ccittfax import (
+        decode_g3_1d,
+        decode_g4,
+        encode_g3_1d,
+        encode_g4,
+    )
+
+    rng = random.Random(seed)
+    bm = [[rng.randrange(2) for _ in range(columns)] for _ in range(rows)]
+    rb = (columns + 7) // 8
+    expect = bytearray()
+    for row in bm:
+        rowb = bytearray(rb)
+        for j in range(columns):
+            if (1 if row[j] else 0) ^ (0 if black_is_1 else 1):
+                rowb[j >> 3] |= 0x80 >> (j & 7)
+        expect += rowb
+    expect = bytes(expect)
+    assert decode_g4(encode_g4(bm, columns), columns, rows, black_is_1) == expect
+    for with_eol in (False, True):
+        enc = encode_g3_1d(bm, columns, with_eol=with_eol)
+        assert decode_g3_1d(enc, columns, rows, black_is_1) == expect
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0, max_size=40,
+        ).map(lambda s: s.replace("\\", "").replace("(", "").replace(")", "").strip()),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_inline_scan_never_fires_on_text(lines):
+    """For ANY printable-ASCII page text — including words like BI, ID
+    and EI — the inline-image scan yields no rows and the text layer is
+    untouched (context-aware operator-position check)."""
+    from pdf_to_text_spark.core.pdfgen import build_pdf, page_content_stream
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images, extract_pdf_pages
+
+    pdf = build_pdf([page_content_stream(lines)], flate=True)
+    assert extract_pdf_images(pdf) == []
+    assert extract_pdf_pages(pdf) == ["\n".join(lines)]
