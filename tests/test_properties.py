@@ -180,3 +180,43 @@ def test_inline_scan_never_fires_on_text(lines):
     pdf = build_pdf([page_content_stream(lines)], flate=True)
     assert extract_pdf_images(pdf) == []
     assert extract_pdf_pages(pdf) == ["\n".join(lines)]
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from(["flate", "encrypted", "xref", "g4img", "objstm"]),
+    st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=150, deadline=None)
+def test_mutation_fuzz_total_error_tolerance(seed, shape, n_flips):
+    """Row-tolerance contract under corruption (SPEC §v1.1-3): ANY
+    byte-mutated document — across every widened file shape — either
+    parses or returns an error string; extract_pdf_pages_safe never
+    raises, never hangs, never OOMs (decode caps)."""
+    import random
+
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
+
+    rng = random.Random(seed)
+    lines = ["mutation fuzz page line one", "and a second line here"]
+    if shape == "flate":
+        pdf = build_pdf([page_content_stream(lines)], flate=True)
+    elif shape == "encrypted":
+        pdf = build_pdf([page_content_stream(lines)], flate=True, encrypt=rng.choice([2, 3, 4]))
+    elif shape == "xref":
+        pdf = build_pdf([page_content_stream(lines)], flate=True, objstm=True, xref_stream=True)
+    elif shape == "g4img":
+        from pdf_to_text_spark.core.ccittfax import encode_g4
+
+        g4 = encode_g4([[1, 0] * 8] * 4, 16)
+        pdf = build_pdf([page_content_stream(lines)], flate=True, images=[(16, 4, g4, "g4")])
+    else:
+        pdf = build_pdf([page_content_stream(lines)], flate=True, objstm=True)
+    buf = bytearray(pdf)
+    for _ in range(n_flips):
+        i = rng.randrange(len(buf))
+        buf[i] = rng.randrange(256)
+    pages, err = extract_pdf_pages_safe(bytes(buf))
+    assert (pages is None) != (err is None)  # exactly one of the two
+    if err is not None:
+        assert isinstance(err, str) and err
