@@ -6,9 +6,12 @@ transparently through fitz, ``core_document_generator.py:122``; this
 engine decodes it natively so scanned-page XObjects surface through
 ``operators/multimodal.pdf_embedded_images`` like DCT ones do).
 
-Scope: Group 4 only (pure 2-D coding, ``/K -1``). Group 3 (/K >= 0)
-remains a disclosed ``PdfError`` boundary — G3 is a fax-wire format
-that practically never appears inside PDFs, where G4 dominates.
+Scope: all three ``/K`` regimes of §7.4.6 — Group 4 (``/K -1``, pure
+T.6 2-D), Group 3 one-dimensional (``/K 0``, T.4 MH), and Group 3
+mixed (``/K > 0``, T.4 §2.2.4: every line introduced by EOL plus a
+tag bit selecting 1-D or 2-D coding, at most K-1 consecutive 2-D
+lines per 1-D anchor). All share one MH run table, one 2-D line
+coder, and one row-packing contract.
 
 Internal convention: bitmaps are rows of 0/1 ints with **1 = black**
 (the coding domain of T.6, which codes runs of white starting first).
@@ -154,42 +157,70 @@ def _transitions(row) -> list[int]:
     return t
 
 
-def encode_g4(bitmap, columns: int) -> bytes:
-    """T.6-encode rows of 0/1 ints (1 = black) + trailing EOFB."""
+def _encode_2d_line(cur: list[int], ref: list[int], columns: int) -> str:
+    """One 2-D-coded line (shared by T.6 and T.4 ``/K > 0``):
+    vertical/horizontal/pass modes against the reference line's
+    colour-change positions."""
+    curs = cur + [columns, columns]
+    refs = ref + [columns, columns]
     bits: list[str] = []
-    ref = [columns, columns]
-    for row in bitmap:
-        cur = _transitions(row)
-        curs = cur + [columns, columns]
-        a0, color, ci = -1, 0, 0
-        while a0 < columns:
-            while ci < len(curs) - 2 and curs[ci] <= a0:
-                ci += 1
-            a1 = curs[ci] if curs[ci] > a0 else columns
-            i = bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            if b2 < a1:
-                bits.append(_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bits.append(_VCODES[a1 - b1])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = curs[ci + 1] if ci + 1 < len(curs) and curs[ci + 1] > a1 else columns
-                bits.append(_HORIZ)
-                start = a0 if a0 >= 0 else 0
-                bits.append(_run_code(a1 - start, color == 0))
-                bits.append(_run_code(a2 - a1, color == 1))
-                a0 = a2
-        ref = cur + [columns, columns]
-    bits.append(_EOL * 2)  # EOFB
+    a0, color, ci = -1, 0, 0
+    while a0 < columns:
+        while ci < len(curs) - 2 and curs[ci] <= a0:
+            ci += 1
+        a1 = curs[ci] if curs[ci] > a0 else columns
+        i = bisect_right(refs, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = refs[i] if i < len(refs) else columns
+        b2 = refs[i + 1] if i + 1 < len(refs) else columns
+        if b2 < a1:
+            bits.append(_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bits.append(_VCODES[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = curs[ci + 1] if ci + 1 < len(curs) and curs[ci + 1] > a1 else columns
+            bits.append(_HORIZ)
+            start = a0 if a0 >= 0 else 0
+            bits.append(_run_code(a1 - start, color == 0))
+            bits.append(_run_code(a2 - a1, color == 1))
+            a0 = a2
+    return "".join(bits)
+
+
+def _encode_1d_line(cur: list[int], columns: int) -> str:
+    """One 1-D MH-coded line from colour-change positions (white
+    first; a line starting black begins with a zero-length white
+    run, T.4 §2.2.2)."""
+    bits: list[str] = []
+    pos, white = 0, True
+    for t in cur + [columns]:
+        bits.append(_run_code(t - pos, white))
+        pos, white = t, not white
+    if pos < columns:
+        bits.append(_run_code(columns - pos, white))
+    return "".join(bits)
+
+
+def _pack_bits(bits: list[str]) -> bytes:
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def encode_g4(bitmap, columns: int) -> bytes:
+    """T.6-encode rows of 0/1 ints (1 = black) + trailing EOFB."""
+    bits: list[str] = []
+    ref: list[int] = []
+    for row in bitmap:
+        cur = _transitions(row)
+        bits.append(_encode_2d_line(cur, ref, columns))
+        ref = cur
+    bits.append(_EOL * 2)  # EOFB
+    return _pack_bits(bits)
 
 
 # ------------------------------------------------------- Group 3 1-D
@@ -202,18 +233,36 @@ def encode_g3_1d(bitmap, columns: int, with_eol: bool = True) -> bytes:
     for row in bitmap:
         if with_eol:
             bits.append(_EOL)
-        trans = _transitions(row) + [columns]
-        pos, white = 0, True
-        for t in trans:
-            bits.append(_run_code(t - pos, white))
-            pos, white = t, not white
-        if pos < columns:
-            bits.append(_run_code(columns - pos, white))
+        bits.append(_encode_1d_line(_transitions(row), columns))
     if with_eol:
         bits.append(_EOL * 6)  # RTC
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    return _pack_bits(bits)
+
+
+def encode_g3_2d(bitmap, columns: int, k: int = 4) -> bytes:
+    """T.4 mixed one/two-dimensional coding (PDF ``/K > 0``,
+    §2.2.4): every line is preceded by EOL plus a tag bit (1 = the
+    line is 1-D MH coded, 0 = 2-D coded against the previous line);
+    a 1-D anchor line starts every ``k``-th line so transmission
+    damage cannot propagate past k-1 lines. Ends with RTC — six
+    (EOL + tag 1) pairs."""
+    if k <= 0:
+        raise ValueError("encode_g3_2d requires K > 0")
+    bits: list[str] = []
+    ref: list[int] = []
+    for idx, row in enumerate(bitmap):
+        cur = _transitions(row)
+        one_d = idx % k == 0
+        bits.append(_EOL)
+        bits.append("1" if one_d else "0")
+        bits.append(
+            _encode_1d_line(cur, columns)
+            if one_d
+            else _encode_2d_line(cur, ref, columns)
+        )
+        ref = cur
+    bits.append((_EOL + "1") * 6)  # RTC
+    return _pack_bits(bits)
 
 
 def decode_g3_1d(
@@ -227,7 +276,6 @@ def decode_g3_1d(
         raise PdfError("G3 columns must be positive")
     br = _BitReader(data)
     out = bytearray()
-    rowbytes = (columns + 7) // 8
     n_rows = 0
 
     def _skip_eols() -> None:
@@ -264,26 +312,81 @@ def decode_g3_1d(
         _skip_eols()
         if _only_padding():
             break
-        pos, white = 0, True
-        rowbits = bytearray(rowbytes)
-        while pos < columns:
-            run = _read_run(br, white)
-            if not white:
-                for j in range(pos, min(pos + run, columns)):
-                    rowbits[j >> 3] |= 0x80 >> (j & 7)
-            pos += run
-            white = not white
-        if pos != columns:
-            raise PdfError("G3 line overruns declared columns")
-        if not black_is_1:
-            mask_last = (0xFF << (-columns % 8)) & 0xFF if columns % 8 else 0xFF
-            for j in range(rowbytes):
-                rowbits[j] ^= 0xFF if j < rowbytes - 1 else mask_last
-        out += rowbits
+        out += _pack_row(_decode_1d_line(br, columns), columns, black_is_1)
         if len(out) > (256 << 20):
             raise PdfError("g3 output exceeds decode cap")
         n_rows += 1
     return bytes(out)
+
+
+def decode_g3_2d(
+    data: bytes, columns: int, rows: int | None = None, black_is_1: bool = False
+) -> bytes:
+    """Decode T.4 mixed 1-D/2-D (PDF ``/K > 0``) to packed 1-bpc
+    byte-aligned rows — the same sample contract as ``decode_g4``.
+    Every line must be introduced by EOL plus its tag bit (the tag is
+    what makes /K > 0 streams self-describing, so the /K magnitude is
+    not needed to decode); 0-fill before EOL is tolerated (§4.1.2).
+    Stops after ``rows`` lines when given, else at RTC / exhaustion."""
+    if columns <= 0:
+        raise PdfError("G3 columns must be positive")
+    br = _BitReader(data)
+    out = bytearray()
+    ref: list[int] | None = None
+    n_rows = 0
+    while rows is None or n_rows < rows:
+        if not _consume_eol(br):
+            break  # all-zero tail = byte padding after the last line
+        if br.pos >= br.n:
+            break
+        tag = br.bit()
+        if tag and _peek_eol(br):
+            break  # RTC: (EOL + 1) repeated — no more lines
+        if tag:
+            cur = _decode_1d_line(br, columns)
+        else:
+            if ref is None:
+                raise PdfError("G3 2-D line with no 1-D reference line")
+            cur = _decode_2d_line(br, ref, columns)
+        out += _pack_row(cur, columns, black_is_1)
+        if len(out) > (256 << 20):
+            raise PdfError("g3 output exceeds decode cap")
+        ref = [t for t in cur if t < columns]
+        n_rows += 1
+    return bytes(out)
+
+
+def _consume_eol(br: _BitReader) -> bool:
+    """Consume optional 0-fill plus one EOL. Returns False when the
+    remainder is an all-zero tail (end-of-data byte padding); raises
+    on a malformed line start (a 1 bit before 11 zeros)."""
+    start = br.pos
+    zeros = 0
+    while br.pos < br.n:
+        if br.bit():
+            if zeros >= 11:
+                return True
+            raise PdfError("expected EOL before G3 line")
+        zeros += 1
+        if zeros > 4096:
+            raise PdfError("runaway fill before G3 EOL")
+    br.pos = start
+    return False
+
+
+def _peek_eol(br: _BitReader) -> bool:
+    """True when the next bits (after optional fill) are another EOL —
+    unambiguous, since no MH code has more than 7 leading zeros."""
+    save = br.pos
+    try:
+        zeros = 0
+        while br.pos < br.n and zeros <= 4096:
+            if br.bit():
+                return zeros >= 11
+            zeros += 1
+        return False
+    finally:
+        br.pos = save
 
 
 # ---------------------------------------------------------------- decode
@@ -352,6 +455,84 @@ def _read_run(br: _BitReader, white: bool) -> int:
             return total
 
 
+def _pack_row(cur: list[int], columns: int, black_is_1: bool) -> bytearray:
+    """Materialize colour-change positions (1 = black internally) into
+    one packed 1-bpc byte-aligned row, applying the PDF sample-space
+    inversion when ``/BlackIs1 false`` (the default)."""
+    rowbytes = (columns + 7) // 8
+    rowbits = bytearray(rowbytes)
+    px, pos = 0, 0
+    for t in cur:
+        t = min(t, columns)
+        if px:  # black span [pos, t)
+            for j in range(pos, t):
+                rowbits[j >> 3] |= 0x80 >> (j & 7)
+        px ^= 1
+        pos = t
+    if px:
+        for j in range(pos, columns):
+            rowbits[j >> 3] |= 0x80 >> (j & 7)
+    if not black_is_1:
+        mask_last = (0xFF << (-columns % 8)) & 0xFF if columns % 8 else 0xFF
+        for j in range(rowbytes):
+            rowbits[j] ^= 0xFF if j < rowbytes - 1 else mask_last
+    return rowbits
+
+
+def _decode_2d_line(br: _BitReader, ref: list[int], columns: int) -> list[int]:
+    """Decode one 2-D-coded line (shared by T.6 and T.4 ``/K > 0``)
+    against the reference line's colour-change positions."""
+    refs = ref + [columns, columns]
+    cur: list[int] = []
+    a0, color = -1, 0
+    while a0 < columns:
+        mode = _read_mode(br)
+        if mode == "EOL":
+            raise PdfError("unexpected EOL inside 2-D line")
+        if mode == "P" or mode == "H":
+            i = bisect_right(refs, a0)
+            if (i & 1) != color:
+                i += 1
+            b2 = refs[i + 1] if i + 1 < len(refs) else columns
+            if mode == "P":
+                a0 = b2
+            else:
+                r1 = _read_run(br, color == 0)
+                r2 = _read_run(br, color == 1)
+                start = a0 if a0 >= 0 else 0
+                a1 = start + r1
+                a2 = a1 + r2
+                cur.append(a1)
+                cur.append(a2)
+                a0 = a2
+        else:
+            i = bisect_right(refs, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = refs[i] if i < len(refs) else columns
+            a1 = b1 + _MODE_DELTA[mode]
+            if a1 < 0 or a1 > columns:
+                raise PdfError("2-D vertical offset out of range")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_1d_line(br: _BitReader, columns: int) -> list[int]:
+    """Decode one 1-D MH line to colour-change positions."""
+    cur: list[int] = []
+    pos, white = 0, True
+    while pos < columns:
+        run = _read_run(br, white)
+        pos += run
+        cur.append(min(pos, columns))
+        white = not white
+    if pos != columns:
+        raise PdfError("G3 line overruns declared columns")
+    return cur
+
+
 def decode_g4(
     data: bytes, columns: int, rows: int | None = None, black_is_1: bool = False
 ) -> bytes:
@@ -363,68 +544,17 @@ def decode_g4(
     if columns <= 0:
         raise PdfError("G4 columns must be positive")
     br = _BitReader(data)
-    ref = [columns, columns]
+    ref: list[int] = []
     out = bytearray()
-    rowbytes = (columns + 7) // 8
     n_rows = 0
     while rows is None or n_rows < rows:
         if rows is None and br.peek_eofb():
             break
-        cur: list[int] = []
-        a0, color = -1, 0
-        while a0 < columns:
-            mode = _read_mode(br)
-            if mode == "EOL":
-                raise PdfError("unexpected EOL inside G4 line")
-            if mode == "P" or mode == "H":
-                i = bisect_right(ref, a0)
-                if (i & 1) != color:
-                    i += 1
-                b1 = ref[i] if i < len(ref) else columns
-                b2 = ref[i + 1] if i + 1 < len(ref) else columns
-                if mode == "P":
-                    a0 = b2
-                else:
-                    r1 = _read_run(br, color == 0)
-                    r2 = _read_run(br, color == 1)
-                    start = a0 if a0 >= 0 else 0
-                    a1 = start + r1
-                    a2 = a1 + r2
-                    cur.append(a1)
-                    cur.append(a2)
-                    a0 = a2
-            else:
-                i = bisect_right(ref, a0)
-                if (i & 1) != color:
-                    i += 1
-                b1 = ref[i] if i < len(ref) else columns
-                a1 = b1 + _MODE_DELTA[mode]
-                if a1 < 0 or a1 > columns:
-                    raise PdfError("G4 vertical offset out of range")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        # materialize the row: 1 = black internally
-        rowbits = bytearray(rowbytes)
-        px, pos = 0, 0
-        for t in cur:
-            t = min(t, columns)
-            if px:  # black span [pos, t)
-                for j in range(pos, t):
-                    rowbits[j >> 3] |= 0x80 >> (j & 7)
-            px ^= 1
-            pos = t
-        if px:
-            for j in range(pos, columns):
-                rowbits[j >> 3] |= 0x80 >> (j & 7)
-        if not black_is_1:  # PDF default: 0 bits are black → invert
-            mask_last = (0xFF << (-columns % 8)) & 0xFF if columns % 8 else 0xFF
-            for j in range(rowbytes):
-                rowbits[j] ^= 0xFF if j < rowbytes - 1 else mask_last
-        out += rowbits
+        cur = _decode_2d_line(br, ref, columns)
+        out += _pack_row(cur, columns, black_is_1)
         if len(out) > (256 << 20):  # decompression-bomb guard
             raise PdfError("g4 output exceeds decode cap")
-        ref = [t for t in cur if t < columns] + [columns, columns]
+        ref = [t for t in cur if t < columns]
         n_rows += 1
         if rows is None and br.n - br.pos < 1:
             break

@@ -417,11 +417,12 @@ def build_pdf(
         refs = " ".join(f"/Im{i} {img_base + i} 0 R" for i in range(len(images)))
         xobj_entry = f" /XObject << {refs} >>"
         for i, img in enumerate(images):
-            if len(img) == 4 and img[3] in ("g4", "g3"):
+            if len(img) == 4 and img[3] in ("g4", "g3", "g3_2d"):
                 # bitonal scan shape: CCITT with explicit /DecodeParms
-                # — /K -1 = Group 4 pure 2-D, /K 0 = Group 3 1-D MH
+                # — /K -1 = Group 4 pure 2-D, /K 0 = Group 3 1-D MH,
+                # /K 4 = Group 3 mixed (payload from encode_g3_2d(k=4))
                 iw, ih, payload = img[0], img[1], img[2]
-                k = -1 if img[3] == "g4" else 0
+                k = {"g4": -1, "g3": 0, "g3_2d": 4}[img[3]]
                 objs[img_base + i] = (
                     f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
                     f"/ColorSpace /DeviceGray /BitsPerComponent 1 "

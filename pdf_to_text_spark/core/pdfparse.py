@@ -415,11 +415,13 @@ def _apply_filters(
         elif name == b"CCITTFaxDecode":
             p = parm or {}
             k = p.get("K", 0)
-            if k > 0:  # G3 mixed 1-D/2-D — disclosed boundary
-                raise PdfError("unsupported CCITTFax /K > 0 (Group 3 2-D)")
-            from pdf_to_text_spark.core.ccittfax import decode_g3_1d, decode_g4
+            from pdf_to_text_spark.core.ccittfax import (
+                decode_g3_1d,
+                decode_g3_2d,
+                decode_g4,
+            )
 
-            dec = decode_g4 if k < 0 else decode_g3_1d
+            dec = decode_g4 if k < 0 else (decode_g3_1d if k == 0 else decode_g3_2d)
             data = dec(
                 data,
                 columns=p.get("Columns", 1728),
@@ -1344,9 +1346,9 @@ def extract_pdf_images(data: bytes, password: bytes | str = b"") -> list[dict]:
     codec (``core/jpegcodec.py``), mirroring how the engine's other
     media columns stay opaque bytes until a decode operator runs.
     Fully-supported chains (Flate etc., with predictors) decode to raw
-    samples with ``codec='raw'`` — including ``/CCITTFaxDecode`` Group 4
-    (``core/ccittfax.py``), which decodes to packed 1-bpc rows.
-    Unsupported image codecs (JPXDecode, JBIG2Decode, CCITT Group 3)
+    samples with ``codec='raw'`` — including ``/CCITTFaxDecode`` in all
+    three /K regimes (``core/ccittfax.py``), which decodes to packed
+    1-bpc rows. Unsupported image codecs (JPXDecode, JBIG2Decode)
     raise ``PdfError`` — the honest boundary, mapped to the row's error
     column by callers.
 

@@ -365,11 +365,11 @@ def pdf_embedded_images(
     ``decode_media_features``). With ``decode=True``, JPEG payloads are
     pixel-decoded by the repo's own baseline/progressive codec
     (``core/jpegcodec.py``) and ``mean_luma`` carries the rounded mean
-    luminance — the hook the image near-dup tier consumes; CCITT Group 4
-    bitonal scans decode to packed 1-bpc rows (``core/ccittfax.py``) and
-    get a bit-mean luma. Row-level tolerance: unparseable PDFs or
-    unsupported image codecs (JPX, JBIG2, CCITT Group 3) emit one
-    (image_no=0, extract_error) row.
+    luminance — the hook the image near-dup tier consumes; CCITT bitonal
+    scans (G4, G3 1-D, G3 mixed /K>0) decode to packed 1-bpc rows
+    (``core/ccittfax.py``) and get a bit-mean luma. Row-level
+    tolerance: unparseable PDFs or unsupported image codecs (JPX,
+    JBIG2) emit one (image_no=0, extract_error) row.
 
     Reference parity: generalizes the reference's page-level rasterize
     hop (``core_document_processing.py:60-66``) to first-class image

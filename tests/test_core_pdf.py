@@ -784,17 +784,19 @@ def test_notch9_g4_composes_with_encryption():
 
 
 def test_notch9_boundaries():
-    """G3 2-D mixed mode and the MQ-coded codecs stay clean PdfError
-    rows (JPX/JBIG2 closed permanently — README rationale)."""
+    """The MQ-coded codecs stay clean PdfError rows (JPX/JBIG2 closed
+    permanently — README rationale); a G4 payload mislabeled /K 4 is a
+    clean PdfError (a T.6 stream has no EOL+tag line structure), not a
+    crash or silent garbage."""
     from pdf_to_text_spark.core.ccittfax import encode_g4
     from pdf_to_text_spark.core.pdfparse import extract_pdf_images
 
     w, h = 16, 4
     g4 = encode_g4([[0] * w for _ in range(h)], w)
     pdf = build_pdf([page_content_stream(LINES)], images=[(w, h, g4, "g4")])
-    g3_2d = pdf.replace(b"/K -1", b"/K 4")
-    with pytest.raises(PdfError, match="Group 3"):
-        extract_pdf_images(g3_2d)
+    mislabeled = pdf.replace(b"/K -1", b"/K 4")
+    with pytest.raises(PdfError):
+        extract_pdf_images(mislabeled)
     for codec in (b"/JPXDecode", b"/JBIG2Decode"):
         bad = pdf.replace(b"/CCITTFaxDecode", codec)
         with pytest.raises(PdfError, match="unsupported"):
@@ -840,6 +842,82 @@ def test_g3_1d_image_xobject():
     im = extract_pdf_images(pdf)[0]
     assert (im["codec"], im["bpc"]) == ("raw", 1)
     assert im["data"] == _g4_pack(bm, w)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 8])
+def test_g3_2d_codec_roundtrip(k):
+    """/K > 0 (T.4 mixed 1-D/2-D): roundtrip across widths incl.
+    non-byte-aligned, for every anchor period k — k=1 degenerates to
+    all-1-D lines, k=8 exercises long 2-D chains."""
+    import random
+
+    from pdf_to_text_spark.core.ccittfax import decode_g3_2d, encode_g3_2d
+
+    rng = random.Random(20260818 + k)
+    for columns in (1, 7, 64, 200, 1800):
+        pats = [
+            [[0] * columns, [1] * columns] * 3,
+            [[(i + j) % 2 for j in range(columns)] for i in range(5)],
+            [[rng.randrange(2) for _ in range(columns)] for _ in range(6)],
+        ]
+        for bm in pats:
+            enc = encode_g3_2d(bm, columns, k=k)
+            for b1 in (False, True):
+                assert decode_g3_2d(enc, columns, rows=len(bm), black_is_1=b1) == _g4_pack(
+                    bm, columns, b1
+                ), (columns, k, b1)
+            # rows omitted: the RTC terminator bounds the decode
+            assert decode_g3_2d(enc, columns) == _g4_pack(bm, columns)
+
+
+def test_g3_2d_matches_g4_samples():
+    """The two 2-D regimes (T.6 and T.4 /K>0) produce byte-identical
+    packed samples for the same bitmap — the shared line coder is
+    self-consistent across framing conventions."""
+    import random
+
+    from pdf_to_text_spark.core.ccittfax import (
+        decode_g3_2d,
+        decode_g4,
+        encode_g3_2d,
+        encode_g4,
+    )
+
+    rng = random.Random(42)
+    w = 97
+    bm = [[rng.randrange(2) for _ in range(w)] for _ in range(9)]
+    assert decode_g4(encode_g4(bm, w), w, rows=9) == decode_g3_2d(
+        encode_g3_2d(bm, w, k=3), w, rows=9
+    )
+
+
+def test_g3_2d_image_xobject():
+    from pdf_to_text_spark.core.ccittfax import encode_g3_2d
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_images
+
+    w, h = 40, 8
+    bm = [[1 if (i * j) % 5 == 0 else 0 for j in range(w)] for i in range(h)]
+    pdf = build_pdf(
+        [page_content_stream(LINES)],
+        flate=True,
+        images=[(w, h, encode_g3_2d(bm, w, k=4), "g3_2d")],
+    )
+    assert b"/K 4" in pdf
+    im = extract_pdf_images(pdf)[0]
+    assert (im["codec"], im["bpc"]) == ("raw", 1)
+    assert im["data"] == _g4_pack(bm, w)
+
+
+def test_g3_2d_first_line_must_be_1d():
+    """A 2-D tag on the first line (no reference) is a clean error."""
+    from pdf_to_text_spark.core.ccittfax import decode_g3_2d
+
+    # EOL + tag 0 + V0, padded
+    bits = "000000000001" + "0" + "1"
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    with pytest.raises(PdfError, match="no 1-D reference"):
+        decode_g3_2d(data, 16)
 
 
 # ------------------------------------- round-5 item 6: user passwords

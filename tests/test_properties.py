@@ -131,15 +131,17 @@ def test_jpeg_roundtrip_structure_any_size(w, h, channels, seed):
 )
 @settings(max_examples=120, deadline=None)
 def test_ccitt_codecs_roundtrip_property(columns, rows, seed, black_is_1):
-    """G4 (T.6) and G3 1-D (T.4) both invert their encoder exactly for
-    arbitrary bitmaps, widths (incl. non-byte-aligned) and both
-    BlackIs1 sample conventions."""
+    """G4 (T.6), G3 1-D (T.4 MH) and G3 mixed (T.4 /K>0) all invert
+    their encoder exactly for arbitrary bitmaps, widths (incl.
+    non-byte-aligned) and both BlackIs1 sample conventions."""
     import random
 
     from pdf_to_text_spark.core.ccittfax import (
         decode_g3_1d,
+        decode_g3_2d,
         decode_g4,
         encode_g3_1d,
+        encode_g3_2d,
         encode_g4,
     )
 
@@ -158,6 +160,10 @@ def test_ccitt_codecs_roundtrip_property(columns, rows, seed, black_is_1):
     for with_eol in (False, True):
         enc = encode_g3_1d(bm, columns, with_eol=with_eol)
         assert decode_g3_1d(enc, columns, rows, black_is_1) == expect
+    for k in (1, 3):
+        enc = encode_g3_2d(bm, columns, k=k)
+        assert decode_g3_2d(enc, columns, rows, black_is_1) == expect
+        assert decode_g3_2d(enc, columns, None, black_is_1) == expect
 
 
 @given(
