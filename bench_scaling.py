@@ -36,6 +36,20 @@ def _load1() -> float:
         return float(f.read().split()[0])
 
 
+def _cpu_stat() -> tuple[float, float]:
+    """(steal, busy) jiffies from /proc/stat. Steal is time the
+    hypervisor ran OTHER tenants while this VM had runnable work —
+    the direct measurement of the 'neighbor wave' the loadavg gates
+    only infer. Measured per side: a side whose busy time is >3%
+    stolen is deflated evidence regardless of how quiet loadavg
+    looked at its start (r5 observation: 16% steal during a window
+    whose ambient loadavg was 0.13)."""
+    with open("/proc/stat") as f:
+        vals = [float(x) for x in f.readline().split()[1:]]
+    user, nice, system, _idle, _iowait, irq, softirq, steal = (vals + [0.0] * 8)[:8]
+    return steal, user + nice + system + irq + softirq + steal
+
+
 def _wait_quiet(gate: float, max_wait: float = 900.0) -> float:
     """Block until the 1-minute load average drops below ``gate`` (or
     ``max_wait`` elapses). The shared sandbox host has bursty noisy
@@ -100,10 +114,14 @@ def main() -> None:
     # warmup per sample)
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
     start_loads: dict[int, float] = {}
+    steal_fracs: dict[int, float] = {}
     order = (args.high, args.low) if args.high_first else (args.low, args.high)
     for cores in order:
         start_loads[cores] = _wait_quiet(args.load_gate) if args.load_gate else _load1()
+        s0, b0 = _cpu_stat()
         results[cores].append(run_once(cores, args.repeats))
+        s1, b1 = _cpu_stat()
+        steal_fracs[cores] = (s1 - s0) / max(b1 - b0, 1e-9)
 
     best = {c: max(r["extraction_docs_per_sec"] for r in rs) for c, rs in results.items()}
     rows = results[args.low][0]["extraction_rows"]
@@ -125,6 +143,9 @@ is the faithful stand-in).
 - input: deterministic fixture corpus, {rows} docs (seed 42)
 - best of {args.repeats} timed runs per level (one warmed JVM each), measured {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())}
 - 1-min load at each side's start: local[{args.low}]={start_loads[args.low]:.2f}, local[{args.high}]={start_loads[args.high]:.2f} (gate: {args.load_gate or 'off'})
+- hypervisor steal during each side (fraction of busy CPU time stolen by
+  co-tenants, from /proc/stat): local[{args.low}]={steal_fracs[args.low]:.3f}, local[{args.high}]={steal_fracs[args.high]:.3f}
+  — a side above 0.03 is deflated evidence whatever its start load was
 
 | parallelism | docs/sec | sec |
 | --- | --- | --- |
@@ -149,6 +170,10 @@ magnitude at either parallelism level.
                 "high": best[args.high],
                 "efficiency": round(eff, 3),
                 "start_loads": [start_loads[args.low], start_loads[args.high]],
+                "steal_fracs": [
+                    round(steal_fracs[args.low], 4),
+                    round(steal_fracs[args.high], 4),
+                ],
             }
         )
     )

@@ -11,7 +11,11 @@ to ``BENCH/campaign_r5.jsonl``, and stops at the first claimable one.
 Claim rule (from BENCH/BASELINE.md): efficiency >= 0.8 AND
 low-side docs/sec >= LOW_FLOOR (981) AND high-side >= HIGH_FLOOR (2971)
 (3100 — the bottom of the band where the r2 headline 0.836 sample's
-high side sat; r3's "low band" 2600-2900 readings were wave-depressed).
+high side sat; r3's "low band" 2600-2900 readings were wave-depressed)
+AND hypervisor steal <= 3% of busy CPU on BOTH sides (round-5 addition:
+/proc/stat steal measured per side is the direct evidence of co-tenant
+deflation that the loadavg floors only infer — r5 observed 16% steal in
+a window whose ambient loadavg read 0.13).
 
 A marker file (``/tmp/sg_campaign_sampling``) is held while a sample is
 in flight so the interactive session can avoid launching its own heavy
@@ -57,7 +61,10 @@ def run_sample() -> dict:
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench_scaling.py"),
-         "--load-gate", "1.0", "--high-first", "--repeats", "2"],
+         # 0.7 (was 1.0): the second side kept starting into the first
+         # side's decaying loadavg residue (r5 samples: low side start
+         # loads 0.92/0.95 -> depressed numbers in BOTH directions)
+         "--load-gate", "0.7", "--high-first", "--repeats", "2"],
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -91,6 +98,7 @@ def main() -> None:
             and r["efficiency"] >= 0.8
             and r["low"] >= LOW_FLOOR
             and r["high"] >= HIGH_FLOOR
+            and max(r.get("steal_fracs", [1.0])) <= 0.03
         )
         r["claimable"] = claim
         with open(LOG, "a") as f:
