@@ -111,6 +111,22 @@ def _load1() -> float:
         return -1.0
 
 
+def _cpu_stat() -> tuple[float, float]:
+    """(steal, busy) jiffies from /proc/stat — steal is CPU time the
+    hypervisor gave to co-tenant VMs while this one had runnable work.
+    Reported over the bench window so a slow artifact is attributable:
+    steal/busy ~0 means the number measures the engine; a high fraction
+    means it measures the neighbors (r5 observed 2.7x end-to-end
+    slowdown from co-tenant steal with near-zero ambient loadavg)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [float(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return 0.0, 1.0
+    user, nice, system, _idle, _iowait, irq, softirq, steal = (vals + [0.0] * 8)[:8]
+    return steal, user + nice + system + irq + softirq + steal
+
+
 def _run_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -154,6 +170,7 @@ def main() -> None:
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
     load_start = _load1()
+    steal0, busy0 = _cpu_stat()
 
     _sweep_stale_scratch()
     corpus_dir, rows = bench_corpus(sf)
@@ -190,6 +207,8 @@ def main() -> None:
         shutil.rmtree(f"{SCRATCH}/sg_spark_local_{os.getpid()}", ignore_errors=True)
         shutil.rmtree(f"{SCRATCH}/sg_bench_out_{os.getpid()}", ignore_errors=True)
 
+    steal1, busy1 = _cpu_stat()
+    steal_frac = round((steal1 - steal0) / max(busy1 - busy0, 1e-9), 4)
     payload = json.dumps(
         {
             "metric": "bench_total_sec",
@@ -211,6 +230,7 @@ def main() -> None:
             "scratch_medium": "tmpfs" if SCRATCH.startswith("/dev/shm") else "disk",
             "load1_start": load_start,
             "load1_end": _load1(),
+            "steal_frac_busy": steal_frac,
         }
     )
     # the one-line JSON outgrew the driver's stdout tail capture in r3/r4
@@ -230,6 +250,7 @@ def main() -> None:
             "cores": cores,
             "extraction_rows": rows,
             "extraction_docs_per_sec": round(docs_per_sec, 1),
+            "steal_frac_busy": steal_frac,
             "full": "BENCH/last_bench.json",
         },
         separators=(",", ":"),
