@@ -939,14 +939,14 @@ def test_user_password_roundtrip_all_handlers(r):
     pages, err = extract_pdf_pages_safe(pdf)  # empty password
     assert pages is None and "password" in err
     pages, err = extract_pdf_pages_safe(pdf, password=b"wrong")
-    assert pages is None and err == "wrong user password"
+    assert pages is None and err == "wrong password"
     # empty-password documents still open with no password argument
     open_pdf = build_pdf([page_content_stream(LINES)], flate=True, encrypt=r)
     assert extract_pdf_pages(open_pdf) == ["\n".join(LINES)]
     # ... and ignore a supplied password only if it matches; a stray
     # password against an empty-password file is a wrong password
     pages, err = extract_pdf_pages_safe(open_pdf, password=b"stray")
-    assert pages is None and err == "wrong user password"
+    assert pages is None and err == "wrong password"
 
 
 def test_user_password_image_xobjects():
@@ -965,6 +965,37 @@ def test_user_password_image_xobjects():
         extract_pdf_images(pdf)
     im = extract_pdf_images(pdf, password=pw)[0]
     assert im["data"] == _g4_pack(bm, w)
+
+
+@pytest.mark.parametrize("r", [2, 3, 4, 5, 6])
+def test_owner_password_authorizes_all_handlers(r):
+    """§7.6.3.4 Algorithm 7 (legacy) / §7.6.4 /OE unwrap (AES-256): the
+    OWNER password alone opens the document — the round-5 closure of
+    the owner-password-only boundary. The user password still works,
+    a wrong password is still a disclosed error row, and owner-auth
+    also opens empty-user-password files."""
+    from pdf_to_text_spark.core.pdfparse import extract_pdf_pages_safe
+
+    user_pw, owner_pw = b"the user pw", b"owner-master-key"
+    pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, encrypt=r,
+        user_pw=user_pw, owner_pw=owner_pw,
+    )
+    expect = ["\n".join(LINES)]
+    assert extract_pdf_pages(pdf, password=owner_pw) == expect
+    assert extract_pdf_pages(pdf, password=user_pw) == expect
+    pages, err = extract_pdf_pages_safe(pdf, password=b"neither")
+    assert pages is None and err == "wrong password"
+    pages, err = extract_pdf_pages_safe(pdf)
+    assert pages is None and "password" in err
+    # owner password against an empty-USER-password file (the default
+    # generator shape) also authorizes
+    open_pdf = build_pdf(
+        [page_content_stream(LINES)], flate=True, encrypt=r,
+        owner_pw=owner_pw,
+    )
+    assert extract_pdf_pages(open_pdf) == expect  # empty user pw
+    assert extract_pdf_pages(open_pdf, password=owner_pw) == expect
 
 
 def test_inline_image_extraction():
