@@ -190,7 +190,9 @@ def test_inline_scan_never_fires_on_text(lines):
 
 @given(
     st.integers(min_value=0, max_value=2**31 - 1),
-    st.sampled_from(["flate", "encrypted", "xref", "g4img", "objstm"]),
+    st.sampled_from(
+        ["flate", "encrypted", "xref", "g4img", "g3_2d_img", "owner_pw", "objstm"]
+    ),
     st.integers(min_value=1, max_value=24),
 )
 @settings(max_examples=150, deadline=None)
@@ -205,10 +207,22 @@ def test_mutation_fuzz_total_error_tolerance(seed, shape, n_flips):
 
     rng = random.Random(seed)
     lines = ["mutation fuzz page line one", "and a second line here"]
+    password = b""
     if shape == "flate":
         pdf = build_pdf([page_content_stream(lines)], flate=True)
     elif shape == "encrypted":
-        pdf = build_pdf([page_content_stream(lines)], flate=True, encrypt=rng.choice([2, 3, 4]))
+        pdf = build_pdf(
+            [page_content_stream(lines)], flate=True, encrypt=rng.choice([2, 3, 4, 5, 6])
+        )
+    elif shape == "owner_pw":
+        # fuzz the Algorithm-7 / /OE owner path: user pw set, owner pw
+        # supplied to the parser, so mutations hit the owner branch too
+        password = b"own3r"
+        pdf = build_pdf(
+            [page_content_stream(lines)], flate=True,
+            encrypt=rng.choice([2, 3, 4, 5, 6]),
+            user_pw=b"uzer", owner_pw=password,
+        )
     elif shape == "xref":
         pdf = build_pdf([page_content_stream(lines)], flate=True, objstm=True, xref_stream=True)
     elif shape == "g4img":
@@ -216,13 +230,20 @@ def test_mutation_fuzz_total_error_tolerance(seed, shape, n_flips):
 
         g4 = encode_g4([[1, 0] * 8] * 4, 16)
         pdf = build_pdf([page_content_stream(lines)], flate=True, images=[(16, 4, g4, "g4")])
+    elif shape == "g3_2d_img":
+        from pdf_to_text_spark.core.ccittfax import encode_g3_2d
+
+        g3 = encode_g3_2d([[1, 0] * 8] * 4, 16, k=2)
+        pdf = build_pdf(
+            [page_content_stream(lines)], flate=True, images=[(16, 4, g3, "g3_2d")]
+        )
     else:
         pdf = build_pdf([page_content_stream(lines)], flate=True, objstm=True)
     buf = bytearray(pdf)
     for _ in range(n_flips):
         i = rng.randrange(len(buf))
         buf[i] = rng.randrange(256)
-    pages, err = extract_pdf_pages_safe(bytes(buf))
+    pages, err = extract_pdf_pages_safe(bytes(buf), password=password)
     assert (pages is None) != (err is None)  # exactly one of the two
     if err is not None:
         assert isinstance(err, str) and err
