@@ -350,6 +350,7 @@ def build_pdf(
     images: list[tuple[int, int, bytes]] | None = None,
     encrypt: int | None = None, owner_pw: bytes = b"owner",
     user_pw: bytes = b"", xref_stream: bool = False,
+    encoding: bytes | None = None, encoding_indirect: bool = False,
 ) -> bytes:
     """Assemble a complete single-xref PDF from per-page content streams.
 
@@ -507,7 +508,22 @@ def build_pdf(
         ).encode()
         objs[tounicode_num] = _stream_obj(tounicode_cmap())
     else:
-        objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        enc_entry = b""
+        if encoding is not None:
+            # round-5 /Encoding knob: caller passes the RAW value bytes
+            # (a bare name like b"/WinAnsiEncoding" or a dict like
+            # b"<< /Type /Encoding /Differences [65 /alpha] >>") so the
+            # generator shares no glyph table with the parser —
+            # expected text in tests is hand-written, not derived.
+            if encoding_indirect:
+                enc_entry = f" /Encoding {tounicode_num} 0 R".encode()
+                objs[tounicode_num] = encoding
+            else:
+                enc_entry = b" /Encoding " + encoding
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            + enc_entry + b" >>"
+        )
 
     if objstm:
         # pack every non-stream object into one /Type /ObjStm container

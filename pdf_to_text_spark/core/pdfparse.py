@@ -42,6 +42,7 @@ Raises ``PdfError`` on malformed input; callers map that to an
 from __future__ import annotations
 
 import re
+import unicodedata as _ud
 import zlib
 
 LINE_Y_TOL = 2.0  # runs within this many points of a line's y are one line
@@ -1069,6 +1070,155 @@ def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     return width, mapping
 
 
+# ------------------------------------------------------------------
+# Simple-font /Encoding (§9.6.6): /BaseEncoding + /Differences arrays.
+# Precedence per §9.10.2: a /ToUnicode CMap always wins; /Encoding is
+# consulted only when the font has none; a font with neither keeps the
+# frozen latin-1 byte semantics (goldens bit-identical).
+
+# Adobe Glyph List subset (public AGL 2.0): the names that occur in
+# real-world /Differences arrays — Standard/WinAnsi symbolic names,
+# the f-ligatures TeX's T1 encoding remaps, typographic punctuation,
+# and the Latin-1/Latin-Extended accented set. Letters and digits are
+# generated (AGL maps "a"→"a", "zero"→"0"). Unknown names decode to
+# U+FFFD like unmapped CMap codes.
+_AGL: dict[str, str] = {
+    # ASCII punctuation, by its AGL name
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # f-ligatures (TeX T1 / OpenType smcp dumps remap these low)
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ",
+    "ffi": "ﬃ", "ffl": "ﬄ",
+    # typographic punctuation / signs
+    "emdash": "—", "endash": "–", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "quotesinglbase": "‚",
+    "quotedblbase": "„", "bullet": "•", "ellipsis": "…",
+    "dagger": "†", "daggerdbl": "‡", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "guillemotleft": "«", "guillemotright": "»",
+    "florin": "ƒ", "fraction": "⁄", "minus": "−",
+    "multiply": "×", "divide": "÷", "plusminus": "±",
+    "degree": "°", "trademark": "™", "copyright": "©",
+    "registered": "®", "section": "§", "paragraph": "¶",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "currency": "¤", "Euro": "€", "brokenbar": "¦",
+    "dieresis": "¨", "acute": "´", "cedilla": "¸",
+    "macron": "¯", "mu": "µ", "periodcentered": "·",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "logicalnot": "¬", "exclamdown": "¡",
+    "questiondown": "¿", "circumflex": "ˆ", "tilde": "˜",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝", "caron": "ˇ",
+    "dotlessi": "ı",
+    # Latin accented (AGL names are the Unicode names' legacy forms)
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "oslash": "ø",
+    "Oslash": "Ø", "thorn": "þ", "Thorn": "Þ",
+    "eth": "ð", "Eth": "Ð", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ",
+}
+# accented Latin letters: generate from Unicode names (AGL names are
+# "<base><Accent>" e.g. eacute, Adieresis — exactly the Unicode name
+# "LATIN SMALL LETTER E WITH ACUTE" re-spelled)
+for _base in "AEIOUYaeiouy":
+    for _acc, _ch in (
+        ("grave", "̀"), ("acute", "́"), ("circumflex", "̂"),
+        ("tilde", "̃"), ("dieresis", "̈"), ("ring", "̊"),
+    ):
+        _composed = _ud.normalize("NFC", _base + _ch)
+        if len(_composed) == 1:
+            _AGL.setdefault(_base + _acc, _composed)
+for _base in "CcNn":
+    _n = {"C": "Ç", "c": "ç", "N": "Ñ", "n": "ñ"}[_base]
+    _AGL.setdefault(_base + ("cedilla" if _base in "Cc" else "tilde"), _n)
+for _i, _d in enumerate(
+    "zero one two three four five six seven eight nine".split()
+):
+    _AGL[_d] = str(_i)
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_c] = _c
+
+
+def _glyph_char(name: str) -> str:
+    """AGL name → character. ``uniXXXX`` / ``uXXXX[XX]`` decode
+    directly (AGL §3 special names); unknown names → U+FFFD."""
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        cp = int(name[1:], 16)
+        return chr(cp) if cp <= 0x10FFFF else "�"
+    return _AGL.get(name, "�")
+
+
+def _base_encoding_map(name: bytes | None) -> dict[int, str]:
+    """Full 256-code map for a named base encoding. WinAnsi is cp1252
+    (its five undefined codes → U+FFFD), MacRoman is the stdlib
+    mac_roman codec; absent/unknown names keep the frozen latin-1
+    identity so legacy fixtures are untouched."""
+    codec = {b"WinAnsiEncoding": "cp1252", b"MacRomanEncoding": "mac_roman"}.get(
+        name or b""
+    )
+    if codec is None:
+        return {c: chr(c) for c in range(256)}
+    out: dict[int, str] = {}
+    for c in range(256):
+        try:
+            out[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            out[c] = "�"
+    return out
+
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z][A-Za-z0-9]*)")
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def parse_encoding(enc: bytes) -> tuple[int, dict[int, str]] | None:
+    """/Encoding value (name or dictionary body) → (1, code→str map),
+    or None when the value is not a recognized simple-font encoding
+    (e.g. /Identity-H on a Type0 font — the CMap path owns those).
+
+    §9.6.6.1: the map starts from /BaseEncoding (or the font's builtin
+    — modeled as latin-1 identity, this subset's frozen default), then
+    /Differences entries override: an integer sets the next code, each
+    following name assigns that glyph to the code and increments."""
+    enc = enc.strip()
+    if not enc.startswith(b"<<"):
+        # bare name form: /Encoding /WinAnsiEncoding
+        if enc in (b"WinAnsiEncoding", b"MacRomanEncoding"):
+            return 1, _base_encoding_map(enc)
+        return None
+    bm = _BASEENC_RE.search(enc)
+    mapping = _base_encoding_map(bm.group(1) if bm else None)
+    dm = _DIFF_RE.search(enc)
+    if dm is not None:
+        code = -1
+        for num, nm in _DIFF_TOK_RE.findall(dm.group(1)):
+            if num:
+                code = int(num)
+            elif code < 0 or code > 255:
+                raise PdfError("Differences name before a valid code")
+            else:
+                mapping[code] = _glyph_char(nm.decode("latin-1"))
+                code += 1
+    elif bm is None:
+        return None  # dict carries neither key: nothing to apply
+    return 1, mapping
+
+
 def _decode_shown(raw: bytes, font: tuple[int, dict[int, str]] | None) -> str:
     """Show-string bytes → text via the current font's CMap; fonts
     without a /ToUnicode keep the frozen latin-1 byte semantics."""
@@ -1089,6 +1239,31 @@ _RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z][A-Za-z0-9-]*)")
+_ENC_DICT_RE = re.compile(rb"/Encoding\s*(?=<<)")
+
+
+def _font_encoding(
+    objs: dict[int, bytes], fbody: bytes
+) -> tuple[int, dict[int, str]] | None:
+    """Resolve a font dict's /Encoding entry (§9.6.6) in any of its
+    three syntactic forms — bare name, indirect ref, inline dict —
+    to a decode map, or None (keep frozen latin-1 semantics)."""
+    rm = _ENC_REF_RE.search(fbody)
+    if rm is not None:
+        enc_obj = objs.get(int(rm.group(1)))
+        if enc_obj is None:
+            raise PdfError("dangling Encoding ref")
+        return parse_encoding(enc_obj)
+    dm = _ENC_DICT_RE.search(fbody)
+    if dm is not None:
+        d, _ = _scan_dict(fbody, dm.end())
+        return parse_encoding(d)
+    nm = _ENC_NAME_RE.search(fbody)
+    if nm is not None:
+        return parse_encoding(nm.group(1))
+    return None
 
 
 def _page_fonts(
@@ -1117,7 +1292,9 @@ def _page_fonts(
             raise PdfError("dangling font ref")
         tm_ = _TOUNICODE_RE.search(fbody)
         if tm_ is None:
-            fonts[b"/" + em.group(1)] = None
+            # §9.10.2 fallback order: no ToUnicode → simple-font
+            # /Encoding (round-5 widening); neither → frozen latin-1
+            fonts[b"/" + em.group(1)] = _font_encoding(objs, fbody)
         else:
             cmap_obj = objs.get(int(tm_.group(1)))
             if cmap_obj is None:

@@ -68,6 +68,7 @@ ROW_CLASSES_EXTENDED = ROW_CLASSES + [
     ("pdf_legacy_filters", 5),  # notch 3: LZW / ASCII85+Flate / RLE / ASCIIHex
     ("pdf_predictor", 3),       # notch 4: TIFF/PNG predictors on flate content
     ("html_charset", 3),        # round 5: meta-declared cp1252/shift_jis pages
+    ("pdf_differences", 3),     # round 5: simple-font /Encoding (§9.6.6)
 ]
 
 
@@ -100,6 +101,39 @@ def _make_pdf(rng: random.Random, cls: str) -> bytes:
             split_content=bool(rng.getrandbits(1)),
             objstm=True,
             nested=(n_pages >= 5),
+        )
+    if cls == "pdf_differences":
+        # round-5 widening: simple-font /Encoding in its three syntactic
+        # forms. The TeX shape remaps low codes to f-ligatures via
+        # /Differences; the Word shape declares /WinAnsiEncoding and
+        # uses cp1252's 0x80-0x9F typographic block. Expected text is
+        # pinned independently by tests/test_core_pdf.py's hand-written
+        # roundtrips; this class rides the golden byte-identity gate.
+        variant = rng.randrange(3)
+        lines = _pdf_lines(rng, rng.randint(20, 35))
+        if variant == 0:
+            # TeX-shaped: "fi"/"fl" digraphs emitted as single codes
+            lines = [
+                ln.replace("fi", "\x01").replace("fl", "\x02") for ln in lines
+            ]
+            enc = b"<< /Type /Encoding /Differences [1 /fi /fl] >>"
+            indirect = False
+        elif variant == 1:
+            lines = [f"\x93{ln}\x94 \x85" for ln in lines]  # cp1252 quotes
+            enc = b"/WinAnsiEncoding"
+            indirect = False
+        else:
+            # indirect dict, base + override: code 'q' renders as é
+            # (diverges from BOTH latin-1 and WinAnsi at that slot)
+            lines = [f"\x93{ln}" for ln in lines]
+            enc = (
+                b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+                b"/Differences [113 /eacute] >>"
+            )
+            indirect = True
+        pages = [page_content_stream(lines) for _ in range(rng.randint(3, 6))]
+        return build_pdf(
+            pages, flate=True, encoding=enc, encoding_indirect=indirect
         )
     if cls == "pdf_predictor":
         pred = rng.choice([2, 12, 15])

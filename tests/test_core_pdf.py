@@ -1039,3 +1039,101 @@ def test_inline_scan_ignores_bi_in_text():
     pdf = build_pdf([page_content_stream(lines)], flate=True)
     assert extract_pdf_pages(pdf) == ["\n".join(lines)]
     assert extract_pdf_images(pdf) == []
+
+
+# ------------------------------------------------- round-5: /Encoding
+
+
+def test_r5_encoding_winansi_name():
+    """Bare-name /Encoding /WinAnsiEncoding: cp1252's 0x80-0x9F block
+    (curly quotes, ellipsis) decodes to its Unicode, diverging from the
+    frozen latin-1 default exactly where the encodings differ."""
+    pdf = build_pdf(
+        [page_content_stream(["\x93Hi\x94 \x85 caf\xe9"])],
+        encoding=b"/WinAnsiEncoding",
+    )
+    assert extract_pdf_pages(pdf) == ["“Hi” … caf\xe9"]
+
+
+def test_r5_encoding_macroman_name():
+    pdf = build_pdf(
+        [page_content_stream(["caf\x8e \xa5"])],  # 8E=eacute A5=bullet
+        encoding=b"/MacRomanEncoding",
+    )
+    assert extract_pdf_pages(pdf) == ["caf\xe9 •"]
+
+
+def test_r5_encoding_differences_inline_dict():
+    """The TeX-shaped case: low codes remapped to f-ligatures, letter
+    slots to accented glyphs, 0x93 to a named quote. Expected text is
+    hand-written — the generator carries no glyph table."""
+    enc = (
+        b"<< /Type /Encoding /Differences "
+        b"[1 /fi /fl 65 /Agrave /eacute 147 /quotedblleft] >>"
+    )
+    pdf = build_pdf([page_content_stream(["\x01nd \x02uid AB\x93"])], encoding=enc)
+    assert extract_pdf_pages(pdf) == ["ﬁnd ﬂuid \xc0\xe9“"]
+
+
+def test_r5_encoding_indirect_base_plus_differences_and_unknown_glyph():
+    """Indirect /Encoding object, /BaseEncoding /WinAnsiEncoding under
+    /Differences; uniXXXX names decode directly; unknown glyph names
+    become U+FFFD (the unmapped-code convention)."""
+    enc = (
+        b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /uni0394 /gXYZ] >>"
+    )
+    pdf = build_pdf(
+        [page_content_stream(["AB\x93x"])], encoding=enc, encoding_indirect=True
+    )
+    assert extract_pdf_pages(pdf) == ["Δ�“x"]
+
+
+def test_r5_encoding_absent_or_unknown_keeps_latin1():
+    # no /Encoding at all: frozen byte semantics (goldens depend on it)
+    pdf = build_pdf([page_content_stream(["caf\xe9 \x93"])])
+    assert extract_pdf_pages(pdf) == ["caf\xe9 \x93"]
+    # unknown name (e.g. a symbolic font's custom tag): same
+    pdf2 = build_pdf([page_content_stream(["caf\xe9 \x93"])], encoding=b"/FooEncoding")
+    assert extract_pdf_pages(pdf2) == ["caf\xe9 \x93"]
+
+
+def test_r5_encoding_tounicode_precedence():
+    """A font with BOTH /ToUnicode and /Encoding must use the CMap
+    (PDF 32000 §9.10.2 extraction order)."""
+    pdf = build_pdf(
+        [page_content_stream(["Hi"], style="cid")],
+        cid_font=True,  # emits /Encoding /Identity-H + /ToUnicode
+    )
+    assert extract_pdf_pages(pdf) == ["Hi"]
+
+
+def test_r5_encoding_page_sep_injection_stripped():
+    """A hostile /Differences mapping a code to uni0002 (the engine's
+    internal page sentinel) must not survive into page text — the
+    frozen page-level \\x02 strip runs after decoding."""
+    enc = b"<< /Type /Encoding /Differences [65 /uni0002] >>"
+    pdf = build_pdf([page_content_stream(["xAy"])], encoding=enc)
+    assert extract_pdf_pages(pdf) == ["xy"]
+
+
+def test_r5_encoding_composes_with_flate_objstm_and_encryption():
+    enc = b"<< /Type /Encoding /Differences [65 /eacute] >>"
+    text = ["cafA and AB"]
+    want = ["caf\xe9 and \xe9B"]
+    for kw in (
+        {"flate": True},
+        {"objstm": True},
+        {"encrypt": 3},
+        {"xref_stream": True},
+    ):
+        pdf = build_pdf([page_content_stream(text)], encoding=enc, **kw)
+        assert extract_pdf_pages(pdf) == want, kw
+
+
+def test_r5_encoding_malformed_differences_raises():
+    # a name before any code is malformed per §9.6.6.1
+    enc = b"<< /Type /Encoding /Differences [/eacute 65] >>"
+    pdf = build_pdf([page_content_stream(["A"])], encoding=enc)
+    with pytest.raises(PdfError):
+        extract_pdf_pages(pdf)
