@@ -191,7 +191,8 @@ def test_inline_scan_never_fires_on_text(lines):
 @given(
     st.integers(min_value=0, max_value=2**31 - 1),
     st.sampled_from(
-        ["flate", "encrypted", "xref", "g4img", "g3_2d_img", "owner_pw", "objstm"]
+        ["flate", "encrypted", "xref", "g4img", "g3_2d_img", "owner_pw",
+         "objstm", "differences"]
     ),
     st.integers(min_value=1, max_value=24),
 )
@@ -236,6 +237,17 @@ def test_mutation_fuzz_total_error_tolerance(seed, shape, n_flips):
         g3 = encode_g3_2d([[1, 0] * 8] * 4, 16, k=2)
         pdf = build_pdf(
             [page_content_stream(lines)], flate=True, images=[(16, 4, g3, "g3_2d")]
+        )
+    elif shape == "differences":
+        # fuzz the round-5 /Encoding branch: /Differences token scan,
+        # glyph-name resolution, and the indirect-encoding-object path
+        pdf = build_pdf(
+            [page_content_stream(lines)], flate=True,
+            encoding=(
+                b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+                b"/Differences [1 /fi /fl 65 /uni0394 /eacute] >>"
+            ),
+            encoding_indirect=bool(rng.getrandbits(1)),
         )
     else:
         pdf = build_pdf([page_content_stream(lines)], flate=True, objstm=True)
