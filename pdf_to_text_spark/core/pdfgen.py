@@ -418,6 +418,19 @@ def build_pdf(
         refs = " ".join(f"/Im{i} {img_base + i} 0 R" for i in range(len(images)))
         xobj_entry = f" /XObject << {refs} >>"
         for i, img in enumerate(images):
+            if len(img) == 4 and img[3] == "gray":
+                # uncompressed-sample scan shape: 8-bpc DeviceGray
+                # under /FlateDecode (the PNG-less raw-gray XObject
+                # real scanners emit for grayscale pages)
+                iw, ih, raw = img[0], img[1], img[2]
+                payload = zlib.compress(raw)
+                objs[img_base + i] = (
+                    f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+                    f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    f"/Filter /FlateDecode /Length {len(payload)} >>".encode()
+                    + b"\nstream\n" + payload + b"\nendstream"
+                )
+                continue
             if len(img) == 4 and img[3] in ("g4", "g3", "g3_2d"):
                 # bitonal scan shape: CCITT with explicit /DecodeParms
                 # — /K -1 = Group 4 pure 2-D, /K 0 = Group 3 1-D MH,
@@ -701,6 +714,63 @@ def build_pdf(
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def build_scanned_pdf(
+    page_texts: list[str], kind: str = "g4", jpeg_quality: int = 95, **kw
+) -> bytes:
+    """Scanned-document generator: each text page becomes a full-page
+    image XObject painted by an image-only content stream (``q cm Do
+    Q``; NO text operators) — the shape a scanner/phone-photo PDF has
+    and the reference feeds to Tesseract
+    (``/root/reference/2_OpenCV_OCR/main.py:86-127``).
+
+    ``kind`` picks the image codec: ``gray`` (8-bpc /FlateDecode raw
+    samples), ``g4``/``g3``/``g3_2d`` (CCITT bitonal, threshold <128 →
+    black), ``jpeg`` (baseline DCT at ``jpeg_quality``). ``**kw`` is
+    forwarded to ``build_pdf`` (e.g. ``encrypt=``/``user_pw=``).
+
+    DISCLOSURE (independent-sides rule): pages are rasterized with
+    ``core.raster``'s frozen glyph grid — the same already-disclosed
+    shared constant as the q29 rasterize→OCR pair; the image CODECS
+    between generator and parser remain independently-tested
+    encoder/decoder pairs (ccittfax / jpegcodec / zlib) with their own
+    structural + roundtrip gates.
+    """
+    from pdf_to_text_spark.core.mediacodec import decode_png
+    from pdf_to_text_spark.core.raster import rasterize_text
+
+    imgs: list[tuple] = []
+    pages: list[bytes] = []
+    for i, text in enumerate(page_texts):
+        w, h, _, px = decode_png(rasterize_text(text))
+        if kind == "gray":
+            imgs.append((w, h, px, "gray"))
+        elif kind == "jpeg":
+            from pdf_to_text_spark.core.jpegcodec import encode_jpeg
+
+            imgs.append((w, h, encode_jpeg(w, h, 1, px, quality=jpeg_quality)))
+        elif kind in ("g4", "g3", "g3_2d"):
+            from pdf_to_text_spark.core.ccittfax import (
+                encode_g3_1d,
+                encode_g3_2d,
+                encode_g4,
+            )
+
+            bm = [
+                [1 if px[r * w + c] < 128 else 0 for c in range(w)]
+                for r in range(h)
+            ]
+            payload = {
+                "g4": lambda: encode_g4(bm, w),
+                "g3": lambda: encode_g3_1d(bm, w),
+                "g3_2d": lambda: encode_g3_2d(bm, w, k=4),
+            }[kind]()
+            imgs.append((w, h, payload, kind))
+        else:
+            raise ValueError(f"unknown scan kind {kind!r}")
+        pages.append(f"q {w} 0 0 {h} 72 360 cm /Im{i} Do Q".encode())
+    return build_pdf(pages, images=imgs, **kw)
 
 
 def content_stream_obj(content: bytes, *, flate: bool = False) -> bytes:

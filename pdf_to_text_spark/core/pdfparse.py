@@ -1486,7 +1486,9 @@ def _collect_leaf_pages(objs: dict[int, bytes], num: int, visited: set, depth: i
     return [num]
 
 
-def extract_pdf_pages(data: bytes, password: bytes | str = b"") -> list[str]:
+def extract_pdf_pages(
+    data: bytes, password: bytes | str = b"", page_ocr=None
+) -> list[str]:
     """bytes → ordered per-page text (1-based page order list).
 
     Page order is the depth-first /Kids order from the root /Pages node
@@ -1495,6 +1497,17 @@ def extract_pdf_pages(data: bytes, password: bytes | str = b"") -> list[str]:
     ``/root/reference/3_Extracted_Texts/Synopsis/page_1.txt`` is 0 bytes).
     ``password``: user password for encrypted documents (empty default;
     str is encoded UTF-8); a wrong password is a PdfError.
+
+    ``page_ocr`` (opt-in scanned-page fallback, round 5): a callable
+    ``list[image-row dict] → str | None`` (``core.scanocr.
+    ocr_scanned_images``) invoked ONLY when a page's text operators
+    yield empty text AND the page paints image XObjects — the
+    reference's scan route (``ocr_engine.py:13-102``) re-expressed over
+    the engine's frozen raster. The text layer always wins; ``None``
+    from the hook leaves the page empty (a decorative cover image is
+    not an error); an UNSUPPORTED image codec on an OCR-candidate page
+    (JPX/JBIG2) raises PdfError — the honest disclosed boundary.
+    Default ``None`` is bit-identical to the frozen goldens.
     """
     if isinstance(password, str):
         password = password.encode("utf-8")
@@ -1520,14 +1533,19 @@ def extract_pdf_pages(data: bytes, password: bytes | str = b"") -> list[str]:
         # stripped from page text — a PDF string could inject it via an
         # octal escape and would otherwise split one page into two in
         # the fused operator's PAGE_SEP join/split round-trip
-        texts.append(
-            _runs_to_text(_runs_from_content(content, fonts)).replace("\x02", "")
-        )
+        text = _runs_to_text(_runs_from_content(content, fonts)).replace("\x02", "")
+        if page_ocr is not None and not text:
+            imgs = _page_painted_images(objs, page, content)
+            if imgs:
+                ocr_text = page_ocr(imgs)
+                if ocr_text:
+                    text = ocr_text.replace("\x02", "")
+        texts.append(text)
     return texts
 
 
 def extract_pdf_pages_safe(
-    data: bytes, password: bytes | str = b""
+    data: bytes, password: bytes | str = b"", page_ocr=None
 ) -> tuple[list[str] | None, str | None]:
     """Total version of ``extract_pdf_pages``: never raises.
 
@@ -1540,7 +1558,7 @@ def extract_pdf_pages_safe(
     input. Returns ``(pages, None)`` or ``(None, error)``.
     """
     try:
-        return extract_pdf_pages(data, password), None
+        return extract_pdf_pages(data, password, page_ocr), None
     except PdfError as e:
         return None, str(e)
     except Exception as e:  # noqa: BLE001 — row-level tolerance by design
@@ -1552,6 +1570,86 @@ _IMG_INT_RE = {
     for k in (b"Width", b"Height", b"BitsPerComponent")
 }
 _COLORSPACE_RE = re.compile(rb"/ColorSpace\s*/(\w+)")
+
+
+def _image_row_from_body(num: int, body: bytes) -> dict | None:
+    """Decoded object body → image row dict (the ``extract_pdf_images``
+    row shape), or None when the object is not a /Subtype /Image
+    XObject. Shared by the document-wide image sweep and the
+    scanned-page OCR fallback's painted-image lookup."""
+    sm = re.search(rb"stream\r?\n", body)
+    head = body[: sm.start()] if sm else body
+    if b"/Image" not in head or not re.search(rb"/Subtype\s*/Image\b", head):
+        return None
+    meta = {
+        k.decode().lower(): int(r.search(head).group(1))
+        for k, r in _IMG_INT_RE.items()
+        if r.search(head)
+    }
+    if "width" not in meta or "height" not in meta:
+        raise PdfError(f"image object {num}: missing /Width or /Height")
+    cs = _COLORSPACE_RE.search(head)
+    chain = _filter_chain(head)
+    parms = _decode_parms(head, len(chain))
+    _, raw = _raw_stream(body)
+    if chain and chain[-1] == b"DCTDecode":
+        # slice parms WITH the chain: array-form /DecodeParms is
+        # index-aligned to the full /Filter array (round-4 advice)
+        payload = _apply_filters(head, raw, chain=chain[:-1], parms=parms[:-1])
+        codec = "jpeg"
+    else:
+        payload = _apply_filters(head, raw, chain=chain, parms=parms)
+        codec = "raw"
+    return {
+        "obj": num,
+        "width": meta["width"],
+        "height": meta["height"],
+        "bpc": meta.get("bitspercomponent", 8),
+        "colorspace": cs.group(1).decode() if cs else "DeviceGray",
+        "codec": codec,
+        "data": payload,
+    }
+
+
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_DO_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+Do(?![A-Za-z])")
+
+
+def _page_painted_images(
+    objs: dict[int, bytes], page_body: bytes, content: bytes
+) -> list[dict]:
+    """Image XObjects a page actually PAINTS (``/Name Do`` in its
+    decoded content stream), as image rows in first-paint order — the
+    candidate set for the scanned-page OCR fallback. Resources may be
+    inline or an indirect ref (same resolution as ``_page_fonts``);
+    names painted but absent from /XObject, and non-image XObjects,
+    are skipped."""
+    rm = _RES_REF_RE.search(page_body)
+    if rm is not None:
+        res = objs.get(int(rm.group(1)))
+        if res is None:
+            raise PdfError("dangling resources ref")
+    else:
+        res = page_body
+    xm = _XOBJ_DICT_RE.search(res)
+    if xm is None:
+        return []
+    names = {m.group(1): int(m.group(2)) for m in _FONT_ENTRY_RE.finditer(xm.group(1))}
+    rows: list[dict] = []
+    seen: set[bytes] = set()
+    for dm in _DO_RE.finditer(content):
+        nm = dm.group(1)
+        if nm in seen:
+            continue
+        seen.add(nm)
+        num = names.get(nm)
+        body = objs.get(num) if num is not None else None
+        if body is None:
+            continue
+        row = _image_row_from_body(num, body)
+        if row is not None:
+            rows.append(row)
+    return rows
 
 
 def extract_pdf_images(data: bytes, password: bytes | str = b"") -> list[dict]:
@@ -1586,41 +1684,9 @@ def extract_pdf_images(data: bytes, password: bytes | str = b"") -> list[dict]:
     _expand_object_streams(objs, obj_pos)
     out: list[dict] = []
     for num in sorted(objs):
-        body = objs[num]
-        sm = re.search(rb"stream\r?\n", body)
-        head = body[: sm.start()] if sm else body
-        if b"/Image" not in head or not re.search(rb"/Subtype\s*/Image\b", head):
-            continue
-        meta = {
-            k.decode().lower(): int(r.search(head).group(1))
-            for k, r in _IMG_INT_RE.items()
-            if r.search(head)
-        }
-        if "width" not in meta or "height" not in meta:
-            raise PdfError(f"image object {num}: missing /Width or /Height")
-        cs = _COLORSPACE_RE.search(head)
-        chain = _filter_chain(head)
-        parms = _decode_parms(head, len(chain))
-        _, raw = _raw_stream(body)
-        if chain and chain[-1] == b"DCTDecode":
-            # slice parms WITH the chain: array-form /DecodeParms is
-            # index-aligned to the full /Filter array (round-4 advice)
-            payload = _apply_filters(head, raw, chain=chain[:-1], parms=parms[:-1])
-            codec = "jpeg"
-        else:
-            payload = _apply_filters(head, raw, chain=chain, parms=parms)
-            codec = "raw"
-        out.append(
-            {
-                "obj": num,
-                "width": meta["width"],
-                "height": meta["height"],
-                "bpc": meta.get("bitspercomponent", 8),
-                "colorspace": cs.group(1).decode() if cs else "DeviceGray",
-                "codec": codec,
-                "data": payload,
-            }
-        )
+        row = _image_row_from_body(num, objs[num])
+        if row is not None:
+            out.append(row)
     # inline images (§8.9.7 BI/ID/EI) from page content streams, in
     # page order after all XObjects; obj=0 marks the inline origin
     root = _root_pages_num(objs)

@@ -69,6 +69,7 @@ ROW_CLASSES_EXTENDED = ROW_CLASSES + [
     ("pdf_predictor", 3),       # notch 4: TIFF/PNG predictors on flate content
     ("html_charset", 3),        # round 5: meta-declared cp1252/shift_jis pages
     ("pdf_differences", 3),     # round 5: simple-font /Encoding (§9.6.6)
+    ("pdf_scanned", 3),         # round 5: image-only pages (scan shape)
 ]
 
 
@@ -135,6 +136,21 @@ def _make_pdf(rng: random.Random, cls: str) -> bytes:
         return build_pdf(
             pages, flate=True, encoding=enc, encoding_indirect=indirect
         )
+    if cls == "pdf_scanned":
+        # round-5 scanned-document shape: image-only pages (no text
+        # operators) across the engine's scan codecs. With the default
+        # pipeline these extract as empty pages (text layer absent —
+        # the frozen-spec behavior the goldens pin); the OCR-enabled
+        # path (`ocr=True` oracle / `ocr_scanned=True` operators)
+        # recovers `raster.ocr_expected` of each page text.
+        from pdf_to_text_spark.core.pdfgen import build_scanned_pdf
+
+        kind = rng.choice(["gray", "g4", "g3", "g3_2d", "jpeg"])
+        texts = [
+            "\n".join(_pdf_lines(rng, rng.randint(8, 20)))
+            for _ in range(rng.randint(1, 3))
+        ]
+        return build_scanned_pdf(texts, kind=kind)
     if cls == "pdf_predictor":
         pred = rng.choice([2, 12, 15])
         pages = [
@@ -253,18 +269,27 @@ def _make_html(rng: random.Random, cls: str) -> str:
     return f"<!DOCTYPE html>\n<html>{head}<body>{body}</body></html>"
 
 
-def oracle_extract(html: bytes | None, text: str | None) -> tuple[str | None, str | None, str, list[str]]:
+def oracle_extract(
+    html: bytes | None, text: str | None, ocr: bool = False
+) -> tuple[str | None, str | None, str, list[str]]:
     """The sequential oracle: (extracted_text, error, route, pdf_page_texts).
 
     Route order (frozen spec): text-layer fast path (P3) → magic-byte
-    sniff (%PDF- → pdf, '<' → html) → error row.
+    sniff (%PDF- → pdf, '<' → html) → error row. ``ocr`` mirrors the
+    operators' opt-in ``ocr_scanned`` flag (scanned-page fallback);
+    default OFF keeps the goldens bit-identical across rounds.
     """
     if text_layer_sufficient(text):
         return normalize_extracted(text), None, "text_layer", []
     if html is None or len(html) == 0:
         return None, "empty_payload", "error", []
     if html.startswith(b"%PDF-"):
-        raw_pages, perr = extract_pdf_pages_safe(html)
+        if ocr:
+            from pdf_to_text_spark.core.scanocr import ocr_scanned_images
+
+            raw_pages, perr = extract_pdf_pages_safe(html, page_ocr=ocr_scanned_images)
+        else:
+            raw_pages, perr = extract_pdf_pages_safe(html)
         if perr is not None:
             return None, f"pdf:{perr}", "pdf", []
         pages = [normalize_extracted(p) for p in raw_pages]

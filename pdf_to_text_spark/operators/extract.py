@@ -62,20 +62,27 @@ def _html_main_safe(data: bytes) -> tuple[str | None, str | None]:
         return None, f"unexpected:{type(e).__name__}"
 
 
-def make_pdf_pages_udf(password: bytes | str = b""):
+def make_pdf_pages_udf(password: bytes | str = b"", ocr_scanned: bool = False):
     """binary → (ordered page texts, error, parse-ms). SURVEY M1/M2/M5:
     deterministic text-object decode replaces rasterize+OCR. Errors
     (including unexpected exceptions on malformed-but-magic-valid input)
     become rows, never task failures. ``password`` is the user password
     applied to every encrypted document in the frame (round-5 item 6) —
-    wrong or missing passwords stay disclosed error rows."""
+    wrong or missing passwords stay disclosed error rows.
+    ``ocr_scanned`` enables the scanned-page fallback (round 5,
+    ``core.scanocr``): pages with no text layer that paint a readable
+    image OCR via the frozen raster; default OFF = goldens unchanged."""
+    if ocr_scanned:
+        from pdf_to_text_spark.core.scanocr import ocr_scanned_images as _hook
+    else:
+        _hook = None
 
     @F.pandas_udf(_PDF_RESULT)
     def pdf_pages_udf(html: pd.Series) -> pd.DataFrame:
         pages_out, err_out, ms_out = [], [], []
         for data in html:
             t0 = time.perf_counter()
-            pages, err = extract_pdf_pages_safe(bytes(data), password)
+            pages, err = extract_pdf_pages_safe(bytes(data), password, _hook)
             pages_out.append(pages)
             err_out.append(err)
             ms_out.append((time.perf_counter() - t0) * 1000.0)
@@ -141,7 +148,10 @@ def _assemble_pdf_doc(r: Column) -> Column:
 
 
 def extract_documents(
-    pages_df: DataFrame, threshold: int = 250, pdf_password: bytes | str = b""
+    pages_df: DataFrame,
+    threshold: int = 250,
+    pdf_password: bytes | str = b"",
+    ocr_scanned: bool = False,
 ) -> DataFrame:
     """The headline operator: pages table → (url, extracted_text, error,
     route, bytes_in, extract_ms).
@@ -169,7 +179,11 @@ def extract_documents(
         F.lit(0.0).alias("extract_ms"),
     )
 
-    pdf_udf = pdf_pages_udf if not pdf_password else make_pdf_pages_udf(pdf_password)
+    pdf_udf = (
+        pdf_pages_udf
+        if not pdf_password and not ocr_scanned
+        else make_pdf_pages_udf(pdf_password, ocr_scanned)
+    )
     pdf_b = (
         routed.filter(~suff & ~empty & pdfm)
         .withColumn("r", pdf_udf("html"))
@@ -229,12 +243,18 @@ _FUSED_RESULT = T.StructType(
 )
 
 
-def make_parse_any_udf(password: bytes | str = b""):
+def make_parse_any_udf(password: bytes | str = b"", ocr_scanned: bool = False):
     """Single-pass routed parse (SURVEY §7.2 decision record: adopted
     after profiling showed the 4-branch union re-reading the shuffled
     input 4×). Routing logic is the same frozen spec as ``sniff_route``;
     PDF pages are joined on PAGE_SEP so normalization can stay Catalyst.
-    ``password`` is threaded to the PDF decryptor (round-5 item 6)."""
+    ``password`` is threaded to the PDF decryptor (round-5 item 6);
+    ``ocr_scanned`` enables the scanned-page OCR fallback
+    (``core.scanocr``, default OFF = goldens unchanged)."""
+    if ocr_scanned:
+        from pdf_to_text_spark.core.scanocr import ocr_scanned_images as _hook
+    else:
+        _hook = None
 
     @F.pandas_udf(_FUSED_RESULT)
     def parse_any_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
@@ -252,7 +272,7 @@ def make_parse_any_udf(password: bytes | str = b""):
                     err, route = "empty_payload", ROUTE_ERROR
                 elif data.startswith(b"%PDF-"):
                     route = ROUTE_PDF
-                    pages, perr = extract_pdf_pages_safe(data, password)
+                    pages, perr = extract_pdf_pages_safe(data, password, _hook)
                     if perr is not None:
                         err = f"pdf:{perr}"
                     else:
@@ -277,7 +297,10 @@ parse_any_udf = make_parse_any_udf()
 
 
 def extract_documents_fused(
-    pages_df: DataFrame, threshold: int = 250, pdf_password: bytes | str = b""
+    pages_df: DataFrame,
+    threshold: int = 250,
+    pdf_password: bytes | str = b"",
+    ocr_scanned: bool = False,
 ) -> DataFrame:
     """Fused single-UDF-stage variant of ``extract_documents`` — same
     output, byte-identical (tests pin equality to the goldens).
@@ -291,7 +314,11 @@ def extract_documents_fused(
     """
     if threshold != 250:
         raise ValueError("fused variant pins the frozen-spec threshold (250)")
-    fused_udf = parse_any_udf if not pdf_password else make_parse_any_udf(pdf_password)
+    fused_udf = (
+        parse_any_udf
+        if not pdf_password and not ocr_scanned
+        else make_parse_any_udf(pdf_password, ocr_scanned)
+    )
     parsed = pages_df.withColumn("r", fused_udf("html", "text"))
     r = F.col("r")
     pages_arr = F.split(r["raw"], PAGE_SEP)

@@ -83,7 +83,7 @@ def test_extended_corpus_byte_identity(spark, tmp_path_factory):
     counts = write_corpus(str(d), 150, seed=7, classes=ROW_CLASSES_EXTENDED)
     for cls in (
         "pdf_modern", "pdf_legacy_filters", "pdf_predictor", "pdf_encrypted",
-        "pdf_15_pure", "html_charset",
+        "pdf_15_pure", "html_charset", "pdf_scanned",
     ):
         assert counts.get(cls, 0) > 0, cls
     pages = spark.read.parquet(f"{d}/pages.parquet")
