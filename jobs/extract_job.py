@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--threshold", type=int, default=250)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--branched", action="store_true", help="use the column-pruning branch-filtered operator")
+    ap.add_argument(
+        "--ocr-scanned", action="store_true",
+        help="opt-in scanned-page OCR fallback (SPEC v1.2 item 4)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -48,6 +52,7 @@ def main() -> None:
         resume=not args.no_resume,
         threshold=args.threshold,
         fused=not args.branched,
+        ocr_scanned=args.ocr_scanned,
     )
     print(json.dumps(summary))
     spark.stop()

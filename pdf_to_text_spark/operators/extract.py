@@ -342,15 +342,19 @@ def extract_documents_fused(
     )
 
 
-def extract_pdf_page_table(pages_df: DataFrame) -> DataFrame:
+def extract_pdf_page_table(
+    pages_df: DataFrame, ocr_scanned: bool = False
+) -> DataFrame:
     """Per-page table for the PDF branch: (url, page_num, page_text) —
     the golden_pages contract (analog of the reference's per-page
     ``3_Extracted_Texts/*/page_N.txt`` files). Uses posexplode (M1/O2);
-    empty pages are preserved as empty strings."""
+    empty pages are preserved as empty strings. ``ocr_scanned`` enables
+    the opt-in scanned-page fallback (SPEC v1.2 item 4)."""
     routed = pages_df.withColumn("route", sniff_route(F.col("html"), F.col("text")))
+    page_udf = pdf_pages_udf if not ocr_scanned else make_pdf_pages_udf(b"", True)
     return (
         routed.filter(F.col("route") == ROUTE_PDF)
-        .withColumn("r", pdf_pages_udf("html"))
+        .withColumn("r", page_udf("html"))
         .filter(F.col("r.error").isNull())
         .select("url", F.posexplode("r.pages").alias("pos", "page_text_raw"))
         .select(

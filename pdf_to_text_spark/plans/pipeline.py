@@ -192,6 +192,7 @@ def run_extraction(
     threshold: int = 250,
     fused: bool = True,
     colocate: str = "output",
+    ocr_scanned: bool = False,
 ) -> dict:
     """Run the extraction job; returns a small summary dict.
 
@@ -205,7 +206,10 @@ def run_extraction(
     the extracted text before the write (fastest measured at every
     local parallelism level); ``"input"`` = one shuffle total on the
     bucket key (see ``bucket_colocated_repartition`` — the choice for
-    network-bound clusters). Both emit O(n_buckets) files."""
+    network-bound clusters). Both emit O(n_buckets) files.
+
+    ``ocr_scanned`` enables the opt-in scanned-page OCR fallback
+    (SPEC v1.2 item 4; default OFF = frozen-spec output)."""
     run_id = uuid.uuid4().hex[:12]
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
 
@@ -239,7 +243,7 @@ def run_extraction(
 
     extract = extract_documents_fused if fused else extract_documents
     # re-derive bucket after extraction (a projection — rows never move)
-    result = extract(staged, threshold=threshold).withColumn(
+    result = extract(staged, threshold=threshold, ocr_scanned=ocr_scanned).withColumn(
         "bucket", bucket_of(F.col("url"), n_buckets)
     )
     if colocate == "output":

@@ -239,3 +239,37 @@ def test_spark_ocr_scanned_matches_oracle(spark, tmp_path_factory):
         )
     )
     assert recovered.count() > 0
+
+
+def test_pipeline_ocr_scanned_end_to_end(spark, tmp_path_factory):
+    """The production plan (`run_extraction(ocr_scanned=True)` — the
+    `jobs/extract_job.py --ocr-scanned` path) recovers scanned-page
+    text through the full bucketed write + lineage + manifest flow, and
+    the per-page table honors the flag too."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_spark.fixtures import write_corpus
+    from pdf_to_text_spark.operators.extract import extract_pdf_page_table
+    from pdf_to_text_spark.plans.pipeline import run_extraction
+
+    classes = [("pdf_scanned", 4), ("pdf_digital", 2)]
+    d = tmp_path_factory.mktemp("corpus_scan_pipe")
+    write_corpus(str(d), 24, seed=23, classes=classes, goldens=False)
+    out = str(tmp_path_factory.mktemp("scan_pipe_out"))
+    summary = run_extraction(
+        spark, f"{d}/pages.parquet", out, n_buckets=8, ocr_scanned=True
+    )
+    assert summary["rows"] == 24
+    got = spark.read.parquet(f"{out}/extracted")
+    # every doc extracts (no scan routed to error), all with real text
+    assert got.filter(F.col("error").isNotNull()).count() == 0
+    assert got.filter(F.length("extracted_text") > 50).count() == 24
+
+    # per-page table: flag off → scanned pages are empty; on → recovered
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    off = extract_pdf_page_table(pages)
+    on = extract_pdf_page_table(pages, ocr_scanned=True)
+    n_empty_off = off.filter(F.length("page_text") == 0).count()
+    assert n_empty_off > 0
+    assert on.filter(F.length("page_text") == 0).count() < n_empty_off
+    assert on.count() == off.count()
