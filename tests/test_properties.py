@@ -259,3 +259,33 @@ def test_mutation_fuzz_total_error_tolerance(seed, shape, n_flips):
     assert (pages is None) != (err is None)  # exactly one of the two
     if err is not None:
         assert isinstance(err, str) and err
+
+
+# ---------------------------------------------------- scanned-OCR (r5)
+
+_scan_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(
+    st.lists(_scan_text, min_size=1, max_size=6),
+    st.sampled_from(["gray", "g4", "g3", "g3_2d"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_scanned_ocr_roundtrip_property(lines, kind):
+    """Any printable-ASCII page, any lossless scan codec: the scanned
+    PDF OCRs back to the raster fixpoint `ocr_expected` (JPEG excluded
+    here — lossy by design, covered by the fixed-seed unit gate)."""
+    from pdf_to_text_spark.core.pdfgen import build_scanned_pdf
+    from pdf_to_text_spark.core.raster import ocr_expected
+    from pdf_to_text_spark.core.scanocr import ocr_scanned_images
+
+    text = "\n".join(lines)
+    pdf = build_scanned_pdf([text], kind=kind)
+    assert extract_pdf_pages(pdf) == [""]
+    assert extract_pdf_pages(pdf, page_ocr=ocr_scanned_images) == [
+        ocr_expected(text)
+    ]
