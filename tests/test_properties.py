@@ -192,7 +192,7 @@ def test_inline_scan_never_fires_on_text(lines):
     st.integers(min_value=0, max_value=2**31 - 1),
     st.sampled_from(
         ["flate", "encrypted", "xref", "g4img", "g3_2d_img", "owner_pw",
-         "objstm", "differences"]
+         "objstm", "differences", "scanned"]
     ),
     st.integers(min_value=1, max_value=24),
 )
@@ -249,13 +249,28 @@ def test_mutation_fuzz_total_error_tolerance(seed, shape, n_flips):
             ),
             encoding_indirect=bool(rng.getrandbits(1)),
         )
+    elif shape == "scanned":
+        # fuzz the round-5 OCR fallback end to end: painted-image
+        # lookup, image-row decode, grid mapping, glyph match — a
+        # mutated scan must degrade to an error row or a (possibly
+        # garbled) page, never a crash
+        from pdf_to_text_spark.core.pdfgen import build_scanned_pdf
+
+        pdf = build_scanned_pdf(
+            ["\n".join(lines)], kind=rng.choice(["gray", "g4", "g3_2d", "jpeg"])
+        )
     else:
         pdf = build_pdf([page_content_stream(lines)], flate=True, objstm=True)
+    hook = None
+    if shape == "scanned":
+        from pdf_to_text_spark.core.scanocr import ocr_scanned_images
+
+        hook = ocr_scanned_images
     buf = bytearray(pdf)
     for _ in range(n_flips):
         i = rng.randrange(len(buf))
         buf[i] = rng.randrange(256)
-    pages, err = extract_pdf_pages_safe(bytes(buf), password=password)
+    pages, err = extract_pdf_pages_safe(bytes(buf), password=password, page_ocr=hook)
     assert (pages is None) != (err is None)  # exactly one of the two
     if err is not None:
         assert isinstance(err, str) and err
