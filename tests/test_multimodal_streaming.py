@@ -72,8 +72,43 @@ def test_sample_video_frames_real_demux(spark):
     assert [r["keyframe"] for r in got1] == [True, False, False, False]  # stss: 1,5,9
     assert out[2][0]["demux_error"] and out[2][0]["frame_no"] == 0
 
-    with pytest.raises(NotImplementedError):
+    # fake payloads are not valid H.264 → disclosed MediaError (r5:
+    # the I_PCM subset decodes for real; garbage never decodes silently)
+    from pdf_to_text_spark.core.mediacodec import MediaError
+
+    with pytest.raises(MediaError):
         decode_video_frame(got1[0]["frame_bytes"])
+
+
+def test_decode_video_frames_ipcm_end_to_end(spark):
+    """MP4 built from real I_PCM H.264 access units (AVCC length
+    prefixes, the MP4 sample shape) → demux-sample → pixel decode:
+    mean luma recovers each frame's known value; a non-H.264 payload
+    degrades to a decode_error row, not a task failure."""
+    import numpy as np
+
+    from pdf_to_text_spark.core.h264 import encode_ipcm
+    from pdf_to_text_spark.core.mp4codec import build_mp4
+    from pdf_to_text_spark.operators.multimodal import decode_video_frames
+
+    lumas = [17, 80, 133, 200]
+    samples = [
+        encode_ipcm(np.full((30, 44), v, np.uint8), length_prefixed=True)
+        for v in lumas
+    ] + [b"not an access unit"]
+    df = spark.createDataFrame(
+        [(1, build_mp4(samples, width=44, height=30))], "media_id long, media binary"
+    )
+    rows = {
+        r["frame_no"]: r.asDict()
+        for r in decode_video_frames(sample_video_frames(df, every_n=1)).collect()
+    }
+    assert len(rows) == 5
+    for i, v in enumerate(lumas, start=1):
+        assert rows[i]["decode_error"] is None
+        assert (rows[i]["width"], rows[i]["height"]) == (44, 30)
+        assert rows[i]["mean_luma"] == v
+    assert rows[5]["mean_luma"] is None and rows[5]["decode_error"]
 
 
 def test_sample_video_frames_out_of_range_is_error_row(spark):
