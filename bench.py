@@ -83,24 +83,42 @@ def bench_corpus(sf: float, seed: int = 42) -> tuple[str, int]:
     return d, rows
 
 
-def time_extraction(spark, corpus_dir: str, rows: int, repeats: int = 1) -> tuple[float, float]:
+def time_extraction(
+    spark, corpus_dir: str, rows: int, repeats: int = 1
+) -> tuple[float, float, dict, list[dict]]:
     """Steady-state throughput: one untimed warmup run (JVM codegen,
     python-worker fork, shuffle service, output committer all warm),
-    then ``repeats`` timed runs — best (min) wins, which filters
-    noisy-neighbor interference on the shared sandbox host. Cold-start
-    costs are per-process constants that a real cluster amortizes over
-    hours — including them would measure JVM startup, not the engine."""
+    then ``repeats`` timed runs. Cold-start costs are per-process
+    constants that a real cluster amortizes over hours — including
+    them would measure JVM startup, not the engine.
+
+    Hypervisor steal is measured over EACH timed run's own window
+    (round-5 refinement): the per-process steal fraction mixes in the
+    corpus check, JVM start and the untimed warmup — phases that are
+    not part of the claimed throughput — so gating a sample on it
+    both over-rejects clean runs and (worse) could under-detect a
+    burst that hit exactly the timed window. Selection rule: fastest
+    run whose own steal ≤ 3% of busy CPU; if no run is clean, fastest
+    overall (its steal rides along so the sample self-describes as
+    contaminated evidence). Returns (sec, docs/sec, chosen_run,
+    all_runs)."""
     out = f"{SCRATCH}/sg_bench_out_{os.getpid()}"
-    best = float("inf")
+    runs: list[dict] = []
     for i in range(repeats + 1):
         shutil.rmtree(out, ignore_errors=True)
+        s0, b0 = _cpu_stat()
         t0 = time.perf_counter()
         run_extraction(spark, f"{corpus_dir}/pages.parquet", out, n_buckets=64, resume=False)
         dt = time.perf_counter() - t0
+        s1, b1 = _cpu_stat()
         if i > 0:  # run 0 is the untimed warmup
-            best = min(best, dt)
+            runs.append(
+                {"sec": round(dt, 3), "steal": round((s1 - s0) / max(b1 - b0, 1e-9), 4)}
+            )
     shutil.rmtree(out, ignore_errors=True)
-    return best, rows / best
+    clean = [r for r in runs if r["steal"] <= 0.03]
+    chosen = min(clean or runs, key=lambda r: r["sec"])
+    return chosen["sec"], rows / chosen["sec"], chosen, runs
 
 
 def _load1() -> float:
@@ -186,7 +204,9 @@ def main() -> None:
 
     try:
         # headline: the extraction pipeline (docs/sec is the north-star metric)
-        ext_sec, docs_per_sec = time_extraction(spark, corpus_dir, rows, args.extraction_repeats)
+        ext_sec, docs_per_sec, ext_run, ext_runs = time_extraction(
+            spark, corpus_dir, rows, args.extraction_repeats
+        )
         timings["extraction_pipeline"] = round(ext_sec, 3)
         timings_min["extraction_pipeline"] = round(ext_sec, 3)
 
@@ -220,6 +240,10 @@ def main() -> None:
             "cores": cores,
             "extraction_rows": rows,
             "extraction_docs_per_sec": round(docs_per_sec, 1),
+            # steal over the CHOSEN timed run's own window (the number
+            # the docs/s figure actually comes from) + every run's pair
+            "extraction_steal_frac": ext_run["steal"],
+            "extraction_runs": ext_runs,
             # self-description (round-2 advice): every artifact says
             # HOW it was measured so cross-round comparisons are
             # interpretable without forensics
@@ -250,6 +274,8 @@ def main() -> None:
             "cores": cores,
             "extraction_rows": rows,
             "extraction_docs_per_sec": round(docs_per_sec, 1),
+            "extraction_steal_frac": ext_run["steal"],
+            "extraction_runs": ext_runs,
             "steal_frac_busy": steal_frac,
             "full": "BENCH/last_bench.json",
         },
