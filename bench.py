@@ -112,8 +112,21 @@ def time_extraction(
         dt = time.perf_counter() - t0
         s1, b1 = _cpu_stat()
         if i > 0:  # run 0 is the untimed warmup
+            # busy−steal = CPU-seconds of actual VM work during the run
+            # (USER_HZ=100). eff_cores = work/wall measures occupancy —
+            # how many cores the job actually kept busy; with
+            # cpu_ms_per_doc it decomposes a wall-clock scaling ratio
+            # into engine-intrinsic CPU inflation × core occupancy,
+            # both robust to steal (which wall-clock ratios are not).
+            cpu_sec = (b1 - b0 - (s1 - s0)) / 100.0
             runs.append(
-                {"sec": round(dt, 3), "steal": round((s1 - s0) / max(b1 - b0, 1e-9), 4)}
+                {
+                    "sec": round(dt, 3),
+                    "steal": round((s1 - s0) / max(b1 - b0, 1e-9), 4),
+                    "cpu_sec": round(cpu_sec, 1),
+                    "eff_cores": round(cpu_sec / dt, 2),
+                    "cpu_ms_per_doc": round(cpu_sec * 1000.0 / rows, 3),
+                }
             )
     shutil.rmtree(out, ignore_errors=True)
     clean = [r for r in runs if r["steal"] <= 0.03]
