@@ -103,14 +103,22 @@ def time_extraction(
     contaminated evidence). Returns (sec, docs/sec, chosen_run,
     all_runs)."""
     out = f"{SCRATCH}/sg_bench_out_{os.getpid()}"
+    # when the process is taskset-pinned (bench_scaling.py --pin), the
+    # affinity set IS the measurement set: steal/busy/occupancy are
+    # summed over those per-cpu stat lines only (see _cpu_stat)
+    aff = sorted(os.sched_getaffinity(0))
+    pinned = len(aff) < (os.cpu_count() or len(aff))
+    aff_set = set(aff) if pinned else None
     runs: list[dict] = []
     for i in range(repeats + 1):
         shutil.rmtree(out, ignore_errors=True)
-        s0, b0 = _cpu_stat()
+        ms0, mb0 = _cpu_stat()
+        s0, b0 = _cpu_stat(aff_set) if pinned else (ms0, mb0)
         t0 = time.perf_counter()
         run_extraction(spark, f"{corpus_dir}/pages.parquet", out, n_buckets=64, resume=False)
         dt = time.perf_counter() - t0
-        s1, b1 = _cpu_stat()
+        ms1, mb1 = _cpu_stat()
+        s1, b1 = _cpu_stat(aff_set) if pinned else (ms1, mb1)
         if i > 0:  # run 0 is the untimed warmup
             # busy−steal = CPU-seconds of actual VM work during the run
             # (USER_HZ=100). eff_cores = work/wall measures occupancy —
@@ -119,15 +127,17 @@ def time_extraction(
             # into engine-intrinsic CPU inflation × core occupancy,
             # both robust to steal (which wall-clock ratios are not).
             cpu_sec = (b1 - b0 - (s1 - s0)) / 100.0
-            runs.append(
-                {
-                    "sec": round(dt, 3),
-                    "steal": round((s1 - s0) / max(b1 - b0, 1e-9), 4),
-                    "cpu_sec": round(cpu_sec, 1),
-                    "eff_cores": round(cpu_sec / dt, 2),
-                    "cpu_ms_per_doc": round(cpu_sec * 1000.0 / rows, 3),
-                }
-            )
+            run = {
+                "sec": round(dt, 3),
+                "steal": round((s1 - s0) / max(b1 - b0, 1e-9), 4),
+                "cpu_sec": round(cpu_sec, 1),
+                "eff_cores": round(cpu_sec / dt, 2),
+                "cpu_ms_per_doc": round(cpu_sec * 1000.0 / rows, 3),
+            }
+            if pinned:
+                run["steal_machine"] = round((ms1 - ms0) / max(mb1 - mb0, 1e-9), 4)
+                run["occupancy"] = round(cpu_sec / dt / len(aff), 3)
+            runs.append(run)
     shutil.rmtree(out, ignore_errors=True)
     clean = [r for r in runs if r["steal"] <= 0.03]
     chosen = min(clean or runs, key=lambda r: r["sec"])
@@ -142,20 +152,41 @@ def _load1() -> float:
         return -1.0
 
 
-def _cpu_stat() -> tuple[float, float]:
+def _parse_stat_line(line: str) -> tuple[float, float]:
+    vals = [float(x) for x in line.split()[1:]]
+    user, nice, system, _idle, _iowait, irq, softirq, steal = (vals + [0.0] * 8)[:8]
+    return steal, user + nice + system + irq + softirq + steal
+
+
+def _cpu_stat(cpus: set[int] | None = None) -> tuple[float, float]:
     """(steal, busy) jiffies from /proc/stat — steal is CPU time the
     hypervisor gave to co-tenant VMs while this one had runnable work.
     Reported over the bench window so a slow artifact is attributable:
     steal/busy ~0 means the number measures the engine; a high fraction
     means it measures the neighbors (r5 observed 2.7x end-to-end
-    slowdown from co-tenant steal with near-zero ambient loadavg)."""
+    slowdown from co-tenant steal with near-zero ambient loadavg).
+
+    With ``cpus`` (the taskset/sched_getaffinity set of a PINNED run),
+    sums the per-cpu lines of that set only. The machine-wide fraction
+    over-rejects pinned runs: an idle unpinned vCPU with a sliver of
+    runnable housekeeping can accrue large steal while the pinned set
+    runs untouched (observed 2026-08-18: machine steal 9.6% while the
+    2 pinned CPUs showed occupancy 0.99 — OUR work lost ~nothing)."""
     try:
         with open("/proc/stat") as f:
-            vals = [float(x) for x in f.readline().split()[1:]]
+            lines = f.readlines()
     except OSError:
         return 0.0, 1.0
-    user, nice, system, _idle, _iowait, irq, softirq, steal = (vals + [0.0] * 8)[:8]
-    return steal, user + nice + system + irq + softirq + steal
+    if cpus is None:
+        return _parse_stat_line(lines[0])
+    s = b = 0.0
+    for ln in lines[1:]:
+        tok = ln.split(None, 1)[0]
+        if tok.startswith("cpu") and tok[3:].isdigit() and int(tok[3:]) in cpus:
+            ps, pb = _parse_stat_line(ln)
+            s += ps
+            b += pb
+    return s, b
 
 
 def _run_query(spark, fn, sf_dir: str) -> float:
@@ -256,6 +287,7 @@ def main() -> None:
             # steal over the CHOSEN timed run's own window (the number
             # the docs/s figure actually comes from) + every run's pair
             "extraction_steal_frac": ext_run["steal"],
+            "extraction_chosen": ext_run,
             "extraction_runs": ext_runs,
             # self-description (round-2 advice): every artifact says
             # HOW it was measured so cross-round comparisons are
@@ -288,6 +320,7 @@ def main() -> None:
             "extraction_rows": rows,
             "extraction_docs_per_sec": round(docs_per_sec, 1),
             "extraction_steal_frac": ext_run["steal"],
+            "extraction_chosen": ext_run,
             "extraction_runs": ext_runs,
             "steal_frac_busy": steal_frac,
             "full": "BENCH/last_bench.json",

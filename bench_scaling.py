@@ -221,6 +221,10 @@ magnitude at either parallelism level.
                     round(run_steal[args.low], 4),
                     round(run_steal[args.high], 4),
                 ],
+                "chosen": {
+                    str(c): results[c][0].get("extraction_chosen")
+                    for c in (args.low, args.high)
+                },
                 "runs": {
                     str(c): results[c][0].get("extraction_runs") for c in (args.low, args.high)
                 },

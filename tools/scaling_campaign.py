@@ -8,11 +8,12 @@ the per-side healthy bands (the round-2/3 integrity rule: a ratio is
 evidence only when NEITHER side is wave-deflated), appends every sample
 to ``BENCH/campaign_r5.jsonl``, and stops at the first claimable one.
 
-Claim rule (from BENCH/BASELINE.md): efficiency >= 0.8 AND
-low-side docs/sec >= LOW_FLOOR (420) AND high-side >= HIGH_FLOOR (1500)
-(pinned 2/8-core clean bands — see the floor-constant comment below)
-AND hypervisor steal <= 3% of busy CPU on BOTH sides, measured over the
-CHOSEN timed run's own window (round-5 addition + refinement:
+Claim rule (from BENCH/BASELINE.md): efficiency >= 0.8 AND per-side
+docs/s floors (380 / 1500, gross-interference backstops) AND, on the
+chosen LOW-side run, occupancy >= 0.97 and cpu_ms_per_doc <= 5.3 (the
+two direct deflation mechanisms — see the constants' comment below)
+AND hypervisor steal <= 3% of busy CPU on BOTH sides' pinned cpu sets,
+measured over the CHOSEN timed run's own window (round-5 refinement:
 /proc/stat steal is the direct evidence of co-tenant deflation that the
 loadavg floors only infer — r5 observed 16% steal in a window whose
 ambient loadavg read 0.13; and the side-wide fraction mixes in corpus
@@ -43,14 +44,25 @@ LOG = os.path.join(REPO, "BENCH", "campaign_r5.jsonl")
 # borrows idle host cores for driver/GC threads, measured 5.0
 # effective cores on local[4], mislabeling the denominator; and 16
 # active cores sit past the socket's bandwidth knee, cpu_ms/doc
-# 4.03→5.23). Clean-window calibration on the 230,400-doc corpus:
-# 2-core ≈ 430-445 docs/s (115k probe 418.9 at 2.3% steal; steal-
-# decomposed 230k runs 5.03 cpu_ms/doc × 1.98 occupied cores),
-# 8-core = 1586.7 measured clean (run steal 0.06%). Floors sit ~3%
-# under the clean-band bottom — tight on the LOW side because low-side
-# deflation is the asymmetry that INFLATES the ratio.
-LOW_FLOOR = 420.0
+# 4.03→5.23). Pinned runs change what the integrity gates must
+# measure: the dangerous asymmetry is a LOW side slowed by something
+# other than the engine, and with per-pinned-CPU accounting
+# (bench.py) that has exactly two visible mechanisms, each gated
+# directly on the chosen low-side run:
+#   occupancy >= 0.97  — scheduling/steal theft ON the pinned set
+#                        (clean 2-core runs measure 0.99)
+#   cpu_ms_per_doc <= LOW_CPU_MS_MAX — co-tenant memory-bandwidth
+#                        interference, which steal cannot see
+#                        (clean 2-core band 4.75-5.06 ms/doc across
+#                        the 115k/230k calibration runs)
+# Per-side docs/s floors remain as a gross-interference backstop:
+# 2-core clean band 395-445 (230k corpus 394.6-418.9 measured),
+# 8-core 1586.7-1692.6 measured clean.
+LOW_CORES = 2
+LOW_FLOOR = 380.0
 HIGH_FLOOR = 1500.0
+LOW_OCC_MIN = 0.97
+LOW_CPU_MS_MAX = 5.3
 
 
 def _load1() -> float:
@@ -105,16 +117,23 @@ def main() -> None:
         r["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         r["ambient_load_at_gate_open"] = start_load
         r["end_load"] = _load1()
+        low_chosen = (r.get("chosen") or {}).get(str(LOW_CORES)) or {}
         claim = (
             "error" not in r
             and r["efficiency"] >= 0.8
             and r["low"] >= LOW_FLOOR
             and r["high"] >= HIGH_FLOOR
-            # steal gate applies to the chosen timed run's own window
-            # (bench.py round-5 refinement) — the side-wide fraction
-            # also covers setup/warmup phases the docs/s figure never
-            # touches; fall back to it for pre-refinement samples
+            # steal gate applies to the chosen timed run's own window,
+            # summed over that side's PINNED cpu set (bench.py) — the
+            # machine-wide fraction over-rejects pinned runs (idle
+            # unpinned vCPUs accrue steal the measurement never feels)
             and max(r.get("run_steal_fracs", r.get("steal_fracs", [1.0]))) <= 0.03
+            # the two direct low-side deflation mechanisms (see the
+            # constants' comment): pinned-set theft and bandwidth
+            # interference — both measured on the run the denominator
+            # docs/s figure came from
+            and low_chosen.get("occupancy", 0.0) >= LOW_OCC_MIN
+            and low_chosen.get("cpu_ms_per_doc", 99.0) <= LOW_CPU_MS_MAX
         )
         r["claimable"] = claim
         with open(LOG, "a") as f:
