@@ -309,24 +309,31 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "last_bench.json"), "w") as f:
         f.write(payload + "\n")
-    compact = json.dumps(
-        {
-            "metric": "bench_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "cores": cores,
-            "extraction_rows": rows,
-            "extraction_docs_per_sec": round(docs_per_sec, 1),
-            "extraction_steal_frac": ext_run["steal"],
-            "extraction_chosen": ext_run,
-            "extraction_runs": ext_runs,
-            "steal_frac_busy": steal_frac,
-            "full": "BENCH/last_bench.json",
-        },
-        separators=(",", ":"),
-    )
+    compact_dict = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "extraction_rows": rows,
+        "extraction_docs_per_sec": round(docs_per_sec, 1),
+        "extraction_steal_frac": ext_run["steal"],
+        "extraction_chosen": ext_run,
+        "extraction_runs": ext_runs,
+        "steal_frac_busy": steal_frac,
+        "full": "BENCH/last_bench.json",
+    }
+    compact = json.dumps(compact_dict, separators=(",", ":"))
+    # the driver's stdout tail capture is exactly 2000 chars (measured
+    # from BENCH_r0{3,4}.json): a longer line gets its HEAD cut and the
+    # artifact's "parsed" goes null. With 56 queries the full compact
+    # line measures ~2.1k, so prune the per-run diagnostic blocks (all
+    # preserved in BENCH/last_bench.json) until it fits with margin.
+    for k in ("extraction_runs", "extraction_chosen"):
+        if len(compact) > 1900:
+            del compact_dict[k]
+            compact = json.dumps(compact_dict, separators=(",", ":"))
     print(compact)
 
 
