@@ -196,6 +196,96 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------- ngram jaccard
 
 
+def _jaccard_count_kernel(n_slices: int, threshold: float, id_type):
+    """Build the mapInArrow postings kernel for ``ngram_jaccard_pairs``
+    (strategy="kernel"). Each task receives ONE row: (slice, docs) where
+    ``docs`` is the full corpus as (id, sorted-int shingle ids). It
+    builds CSR postings with numpy and counts pair intersections via
+    ``bincount`` — the 127M pair-instances that cost the join path a
+    114M-key hash aggregate become vectorized integer adds (guide §4.2:
+    hand whole batches to native code). Emits (id_a, id_b, n_common,
+    n_a, n_b) for pairs whose UNROUNDED jaccard clears
+    ``threshold - 1e-6``; the exact rounded filter runs in Spark so
+    half-up rounding at the boundary matches the oracle bit-for-bit.
+    """
+    import pyarrow as pa
+
+    def kernel(it):
+        import numpy as np
+
+        for rb in it:
+            for row in range(rb.num_rows):
+                slice_id = rb.column("slice")[row].as_py()
+                docs = rb.column("docs")[row].values
+                n = len(docs)
+                if n == 0:
+                    continue
+                ids = docs.field("i").to_numpy(zero_copy_only=False)
+                sl = docs.field("s")
+                off = np.asarray(sl.offsets, dtype=np.int64)
+                vals = sl.values.to_numpy(zero_copy_only=False).astype(np.int64)
+                lens = off[1:] - off[:-1]
+                order = np.argsort(ids, kind="stable")  # id order == pair order
+                inv = np.empty(n, np.int64)
+                inv[order] = np.arange(n)
+                sorted_ids = ids[order]
+                n_sh = lens[order]
+                # postings CSR over (sid, doc-rank), doc-ranks ascending
+                p_doc = inv[np.repeat(np.arange(n), lens)]
+                srt = np.lexsort((p_doc, vals))
+                p_sid, p_doc = vals[srt], p_doc[srt]
+                n_sid = int(p_sid[-1]) + 1 if len(p_sid) else 0
+                post_off = np.zeros(n_sid + 1, np.int64)
+                np.cumsum(np.bincount(p_sid, minlength=n_sid), out=post_off[1:])
+                # per-doc sid lists keyed by doc-rank
+                byd = np.argsort(p_doc, kind="stable")
+                s_by_doc = p_sid[byd]
+                doc_off = np.zeros(n + 1, np.int64)
+                np.cumsum(np.bincount(p_doc, minlength=n), out=doc_off[1:])
+                t_lb = threshold - 1e-6
+                oa, ob, oc, ona, onb = [], [], [], [], []
+                for d in range(slice_id, n, n_slices):
+                    ss = s_by_doc[doc_off[d] : doc_off[d + 1]]
+                    parts = []
+                    for s in ss:
+                        seg = p_doc[post_off[s] : post_off[s + 1]]
+                        st = np.searchsorted(seg, d, side="right")
+                        if st < len(seg):
+                            parts.append(seg[st:])
+                    if not parts:
+                        continue
+                    counts = np.bincount(np.concatenate(parts), minlength=n)
+                    cand = np.flatnonzero(counts)
+                    if not len(cand):
+                        continue
+                    c = counts[cand]
+                    na = n_sh[d]
+                    nb = n_sh[cand]
+                    keep = c >= t_lb * (na + nb - c)
+                    cand, c, nb = cand[keep], c[keep], nb[keep]
+                    if len(cand):
+                        oa.append(np.full(len(cand), d))
+                        ob.append(cand)
+                        oc.append(c)
+                        ona.append(np.full(len(cand), na))
+                        onb.append(nb)
+                if oa:
+                    a = np.concatenate(oa)
+                    b = np.concatenate(ob)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(sorted_ids[a].tolist(), type=id_type),
+                            pa.array(sorted_ids[b].tolist(), type=id_type),
+                            pa.array(np.concatenate(oc), type=pa.int64()),
+                            pa.array(np.concatenate(ona).astype(np.int64)),
+                            pa.array(np.concatenate(onb).astype(np.int64)),
+                        ],
+                        names=["id_a", "id_b", "n_common", "n_a", "n_b"],
+                    )
+
+    return kernel
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -204,9 +294,28 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
     cache: bool = True,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
     Output: (id_a, id_b, jaccard) for pairs ≥ threshold.
+
+    ``strategy`` (r6 optimization, results identical either way):
+
+    * ``"kernel"`` (default): dictionary-encode shingles, gather the
+      corpus as (id, shingle-id array) once, and count pair
+      intersections with a numpy ``bincount`` postings kernel inside
+      ``mapInArrow`` — the candidate-pair blow-up (sum of df(df−1)/2,
+      quadratic in per-shingle document frequency: measured 127M pair
+      rows / 114M distinct pairs from 50k docs at sf1.0) never
+      materializes as Spark rows. Measured 90 s → ~8 s at sf1.0.
+      Memory shape: every task holds the encoded corpus (~12 bytes per
+      shingle instance — ~1.2 GB per 10⁸ shingle rows), so this is the
+      right strategy up to corpora of a few hundred million shingle
+      instances per similarity block; beyond that, block the corpus
+      (LSH/IVF partitioning, as q32/q49 do) or fall back to "join".
+    * ``"join"``: the classic inverted-index self-join — one shuffle
+      per side, fully distributed, no per-task corpus copy; the 100 TB
+      shape when a single block exceeds worker memory.
 
     Scale: the shingle self-join is the classic inverted-index pattern.
     **Document-frequency cap** (``max_df``): a shingle shared by D docs
@@ -246,8 +355,21 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if strategy == "kernel":
+        return _ngram_jaccard_kernel(sh, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # The self-join OUTPUT is quadratic in per-shingle df (sum of
+    # df(df-1)/2 — measured 127M pair rows from a 2.6M-row shingle
+    # table at sf1.0) while its INPUT is a few MB compressed, so AQE's
+    # size-based coalescing collapses the join to 1-2 partitions and
+    # the quadratic work runs nearly single-core (measured: 292 s on 2
+    # tasks vs ~30 s on 32). An explicit repartition on the join key is
+    # exempt from AQE coalescing, is scale-adaptive (defaultParallelism
+    # = cores locally, executor slots on a cluster), and is reused by
+    # both sides of the self-join — one exchange, full parallelism.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    sh_j = sh.repartition(n_par, "shingle")
+    a, b = sh_j.alias("a"), sh_j.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -272,6 +394,68 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _ngram_jaccard_kernel(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Kernel-strategy body: ``sh`` is the (already df-capped) exploded
+    shingle table. See ``ngram_jaccard_pairs`` for the shape argument."""
+    from pyspark.sql import Window
+
+    spark = sh.sparkSession
+    n_slices = spark.sparkContext.defaultParallelism
+    # dictionary-encode shingles: the kernel needs ints, not strings.
+    # Any injective map yields identical counts; row_number over a
+    # lexicographic window keeps it deterministic. The dict is tiny
+    # (distinct shingles), the single-partition window is trivial.
+    sid_dict = (
+        sh.select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            (F.row_number().over(Window.orderBy("shingle")) - 1).cast("int").alias("sid"),
+        )
+    )
+    per_doc = (
+        sh.join(F.broadcast(sid_dict), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list("sid").alias("s"))
+        .select(F.col(id_col).alias("i"), "s")
+    )
+    # one row carrying the encoded corpus (~12 B/shingle instance),
+    # broadcast to every slice task — no shuffle replicates the corpus
+    # n_slices times, and no exchange means AQE cannot under-parallelize
+    # the quadratic counting work (the join-strategy failure mode).
+    blob = per_doc.agg(F.collect_list(F.struct("i", "s")).alias("docs"))
+    slices = spark.range(0, n_slices, 1, numPartitions=n_slices).withColumnRenamed(
+        "id", "slice"
+    )
+    work = slices.crossJoin(F.broadcast(blob))
+    id_field = sh.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field),
+            T.StructField("id_b", id_field),
+            T.StructField("n_common", T.LongType()),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    id_arrow = to_arrow_type(id_field)
+    counted = work.mapInArrow(
+        _jaccard_count_kernel(n_slices, threshold, id_arrow), out_schema
+    )
+    # exact rounded filter stays in Spark: F.round is half-away-from-
+    # zero, same as the DuckDB twin; the kernel's pre-filter used a
+    # 1e-6 slack so no boundary case is lost
+    return counted.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- simhash

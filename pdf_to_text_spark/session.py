@@ -12,6 +12,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """1.5 GB per core, capped at half of physical RAM, floor 8 GB.
+
+    In ``local[N]`` the single JVM hosts the driver plus N task slots,
+    so per-task execution memory is roughly ``heap * 0.6 / N``; sizing
+    by core count is the local-mode equivalent of a cluster's
+    per-executor memory setting and scales with ``SPARK_GRAFT_CPUS``
+    instead of being tuned to one machine.
+    """
+    cores = os.cpu_count() or 8
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(f.readline().split()[1])
+        half_ram_gb = total_kb // (2 * 1024 * 1024)
+    except (OSError, ValueError, IndexError):
+        half_ram_gb = 16
+    return f"{max(8, min(cores * 3 // 2, half_ram_gb))}g"
+
+
 def get_spark(
     app_name: str = "pdf_to_text_spark",
     cores: int | None = None,
@@ -46,7 +65,15 @@ def get_spark(
         # pure fixed cost that suppresses scaling efficiency
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Heap sizing (env-parameterized): local mode runs driver and all
+        # task slots in ONE JVM, so the old 8g default gave 32 concurrent
+        # tasks ~150 MB of execution memory each — wide hash aggregates
+        # (100M+ distinct keys) spilled and GC-thrashed (q33 at sf1.0:
+        # 264 s with 8g, ~6x faster with task memory at production
+        # ratios). Real clusters provision 1-4 GB per core; default to
+        # 1.5 GB/core capped at half of machine RAM so the bench measures
+        # the engine, not an artificially starved heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap()))
         # warehouse for bucketed saveAsTable (co-located join tests /
         # jobs) — keep it off the repo tree
         .config(
