@@ -213,7 +213,7 @@ def _q10_meaningful_len(spark, sf):
 
 
 def _q11_charset_clean(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select("doc_id", X.charset_clean(F.col("text")).alias("cleaned"))
 
 
@@ -247,14 +247,14 @@ def _md_src() -> Column:
 
 
 def _q14_sentences(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select(
         "doc_id", F.explode(X.sentences_strict(_punctuated(F.col("text")))).alias("sentence")
     )
 
 
 def _q15_sentence_topk(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     s = d.select(
         "doc_id", F.explode(X.sentences_strict(_punctuated(F.col("text")))).alias("sentence")
     )
@@ -311,7 +311,7 @@ def _q18_chunk_concat(spark, sf):
 
 
 def _q19_line_paging(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     s = d.select(
         "doc_id", F.posexplode(X.sentences_strict(_punctuated(F.col("text")))).alias("pos", "s")
     )
@@ -322,7 +322,7 @@ def _q19_line_paging(spark, sf):
 
 
 def _q20_text_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return TS.with_text_stats(d, "text").select(
         "doc_id", "n_len", "n_tokens", "n_subtokens", "stop_ratio", "punct_ratio",
         "lang_guess", "quality", "fp",
@@ -330,7 +330,7 @@ def _q20_text_stats(spark, sf):
 
 
 def _q21_lang_counts(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.groupBy(TS.lang_id(F.col("text")).alias("lang_guess")).agg(F.count("*").alias("n"))
 
 
@@ -339,21 +339,21 @@ def _q30_exact_dedup(spark, sf):
 
 
 def _q31_minhash_sigs(spark, sf):
-    return D.minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
+    return D.minhash_signatures(_par(spark, _t(spark, sf, "documents")), num_hashes=8)
 
 
 def _q32_lsh_pairs(spark, sf):
     return D.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=8, bands=4, max_bucket=200
+        _par(spark, _t(spark, sf, "documents")), num_hashes=8, bands=4, max_bucket=200
     )
 
 
 def _q33_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3, max_df=1000)
+    return D.ngram_jaccard_pairs(_par(spark, _t(spark, sf, "documents")), threshold=0.3, max_df=1000)
 
 
 def _q34_simhash(spark, sf):
-    return D.simhash_table(_t(spark, sf, "documents"))
+    return D.simhash_table(_par(spark, _t(spark, sf, "documents")))
 
 
 def _q52_near_dup_components(spark, sf):
@@ -366,7 +366,7 @@ def _q52_near_dup_components(spark, sf):
     from pdf_to_text_spark.plans.components import connected_components
 
     pairs = D.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=8, bands=4, max_bucket=200
+        _par(spark, _t(spark, sf, "documents")), num_hashes=8, bands=4, max_bucket=200
     )
     return connected_components(pairs)
 
@@ -424,7 +424,7 @@ def _q43_centrality_topk(spark, sf):
 def _q44_stopword_removal(spark, sf):
     from pdf_to_text_spark.functions.udfs import remove_stopwords
 
-    d = _t(spark, sf, "documents")
+    d = _par(spark, _t(spark, sf, "documents"))
     return d.select("doc_id", remove_stopwords(F.col("text")).alias("kept"))
 
 

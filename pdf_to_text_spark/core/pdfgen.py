@@ -9,6 +9,7 @@ synthetic documents — no external data.
 
 from __future__ import annotations
 
+import functools
 import re
 import zlib
 
@@ -289,11 +290,15 @@ _ENC_PAD = bytes(
 
 def _rc4e(key: bytes, data: bytes) -> bytes:
     # independent of pdfparse.rc4 on purpose: a shared implementation
-    # would let a key-schedule bug cancel out in roundtrip tests
+    # would let a key-schedule bug cancel out in roundtrip tests.
+    # KSA key expansion (r6): key[i % len] inside the 256-iteration
+    # schedule paid a len() + modulo per step — ~40% of the whole
+    # cipher for the 16-32 byte payloads the handler algorithms feed.
+    kx = (key * (256 // len(key) + 1))[:256]
     S = list(range(256))
     j = 0
     for i in range(256):
-        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        j = (j + S[i] + kx[i]) & 0xFF
         S[i], S[j] = S[j], S[i]
     out = bytearray(len(data))
     a = b = 0
@@ -305,13 +310,11 @@ def _rc4e(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def std_handler_entries(
-    owner_pw: bytes, r: int, nbits: int, p: int, id0: bytes, user_pw: bytes = b""
-) -> tuple[bytes, bytes, bytes]:
-    """Standard security handler entries — (file_key, /O, /U) per PDF
-    32000 §7.6.3.4 Algorithms 3 (O), 2 (file key) and 4/5 (U), for an
-    EMPTY user password by default or a supplied ``user_pw`` (round-5
-    item 6). Independent spec implementation (see _rc4e)."""
+@functools.lru_cache(maxsize=64)
+def _o_entry(owner_pw: bytes, user_pw: bytes, r: int, nbits: int) -> bytes:
+    """§7.6.3.4 Algorithm 3: the /O entry (and its 20-round RC4 chain
+    for /R ≥ 3). Split out of ``std_handler_entries`` because it is
+    ID-independent and therefore memoizable across documents."""
     import hashlib
 
     klen = nbits // 8
@@ -325,6 +328,24 @@ def std_handler_entries(
     if r >= 3:
         for i in range(1, 20):
             o = _rc4e(bytes(x ^ i for x in okey), o)
+    return o
+
+
+def std_handler_entries(
+    owner_pw: bytes, r: int, nbits: int, p: int, id0: bytes, user_pw: bytes = b""
+) -> tuple[bytes, bytes, bytes]:
+    """Standard security handler entries — (file_key, /O, /U) per PDF
+    32000 §7.6.3.4 Algorithms 3 (O), 2 (file key) and 4/5 (U), for an
+    EMPTY user password by default or a supplied ``user_pw`` (round-5
+    item 6). Independent spec implementation (see _rc4e)."""
+    import hashlib
+
+    klen = nbits // 8
+    upad = (user_pw + _ENC_PAD)[:32]
+    # Algorithm 3 (/O) depends only on the passwords/r/nbits, never on
+    # the per-document ID — memoized (r6) so a corpus encrypted under
+    # one credential pair pays its 20-round RC4 chain once, not per doc
+    o = _o_entry(owner_pw, user_pw, r, nbits)
     key = hashlib.md5(
         upad + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
     ).digest()

@@ -176,6 +176,13 @@ def minhash_lsh_pairs(
             .select("band_no", "bh")
         )
         melted = melted.join(F.broadcast(hot), ["band_no", "bh"], "left_anti")
+    # same AQE blind spot as the jaccard join strategy: the banded table
+    # is a few MB so size-based coalescing would run the quadratic
+    # bucket self-join on 1-2 partitions; an explicit repartition on the
+    # join key keeps full parallelism and is reused by both sides
+    melted = melted.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "band_no", "bh"
+    )
     a = melted.alias("a")
     b = melted.alias("b")
     return (

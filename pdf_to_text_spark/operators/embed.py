@@ -126,8 +126,6 @@ def centrality_topk_from_text(
     tokens survive hashing) are excluded before pairing — a 0/0 cosine
     is NaN and not portable. Output: (group, id, centrality, rn).
     """
-    from pdf_to_text_spark.operators.similarity import dot
-
     e = with_embedding(df, text_col, "v", dim, model_fn).select(group_col, id_col, "v")
     e = e.filter(_sq_norm(F.col("v")) > 0)
     # L2-normalize ONCE per doc so each pair costs a single dot product
@@ -135,11 +133,30 @@ def centrality_topk_from_text(
     # traversals × O(pairs) instead of O(docs). norm is projected as its
     # own column first: an expression referenced inside a transform
     # lambda re-evaluates PER ELEMENT (measured 32× blowup elsewhere).
+    # r6: the normalized vector is UNPACKED into ``dim`` scalar columns.
+    # Catalyst higher-order functions (zip_with/aggregate) are
+    # interpreted per element, so the O(pairs) dot product was paying
+    # interpreter dispatch 2·dim times per pair; a chain of scalar
+    # multiply-adds over unpacked columns is whole-stage-codegen'd.
+    # The op sequence is bit-identical: same per-element division, same
+    # left-to-right ((0.0 + p0) + p1) + … addition order.
+    # the unpacked path requires vectors of exactly ``dim`` components;
+    # the default md5 embedder guarantees that, but an injected
+    # ``model_fn`` may emit any width — keep the array dot for it.
+    unpack = model_fn is None
     e = e.withColumn("_n", F.sqrt(_sq_norm(F.col("v"))))
-    e = e.select(
-        group_col, id_col,
-        F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("vn"),
-    )
+    if unpack:
+        e = e.select(
+            group_col,
+            id_col,
+            *[(F.col("v").getItem(i) / F.col("_n")).alias(f"vn_{i}") for i in range(dim)],
+        )
+    else:
+        e = e.select(
+            group_col,
+            id_col,
+            F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("vn_arr"),
+        )
     # both sides of the self-join read this frame: cache so the embed
     # UDF evaluates once per doc, not once per join side (at production
     # scale the embedding table is a materialized intermediate instead).
@@ -149,16 +166,35 @@ def centrality_topk_from_text(
         from pdf_to_text_spark.core.caching import register_cache
 
         e = register_cache(e)
-    a = e.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), F.col("vn").alias("va")
-    )
-    b = e.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("id_b"), F.col("vn").alias("vb")
-    )
-    pairs = a.join(b, ["grp"]).filter(F.col("id_a") != F.col("id_b"))
+    if unpack:
+        a_cols = [F.col(f"vn_{i}").alias(f"va_{i}") for i in range(dim)]
+        b_cols = [F.col(f"vn_{i}").alias(f"vb_{i}") for i in range(dim)]
+    else:
+        a_cols = [F.col("vn_arr").alias("va")]
+        b_cols = [F.col("vn_arr").alias("vb")]
+    a = e.select(F.col(group_col).alias("grp"), F.col(id_col).alias("id_a"), *a_cols)
+    b = e.select(F.col(group_col).alias("grp"), F.col(id_col).alias("id_b"), *b_cols)
+    # broadcast the build side: the join key is the (low-cardinality)
+    # blocking group, so a shuffle join collapses to ≤ n_groups busy
+    # partitions — and AQE coalesces the few-MB input further — while
+    # the join OUTPUT is quadratic per group. Broadcasting keeps the
+    # streamed side's scan partitioning (full parallelism, no exchange)
+    # and the broadcast is n_docs·dim scalars, negligible next to the
+    # pairwise compute it unlocks. At crawl scale the group-blocked
+    # frame fed here is already bounded per block (see q43's filter /
+    # the LSH-blocked q49 path), so the broadcast stays bounded too.
+    pairs = a.join(F.broadcast(b), ["grp"]).filter(F.col("id_a") != F.col("id_b"))
+    if unpack:
+        prod = F.lit(0.0)
+        for i in range(dim):
+            prod = prod + F.col(f"va_{i}") * F.col(f"vb_{i}")
+    else:
+        from pdf_to_text_spark.operators.similarity import dot
+
+        prod = dot(F.col("va"), F.col("vb"))
     cent = pairs.groupBy("grp", "id_a").agg(
         # decimal addends: order-independent rounded sum (oracle parity)
-        F.round(F.sum(dot(F.col("va"), F.col("vb")).cast("decimal(28,12)")), 6)
+        F.round(F.sum(prod.cast("decimal(28,12)")), 6)
         .cast("double")
         .alias("centrality")
     )
