@@ -864,7 +864,146 @@ _WS_RUN_RE = re.compile(rb"[ \t\r\n\f\x00]+")
 _STR_SPECIAL_RE = re.compile(rb"[\\()]")
 
 
+class _FastBail(Exception):
+    """Internal: the fast scanner met syntax it does not cover — retry
+    the stream with the reference tokenizer."""
+
+
+# one alternation, ordered EXACTLY like _tokenize_slow's branch ladder
+# so both tokenizers segment identical streams identically
+_SCAN_RE = re.compile(
+    rb"([ \t\r\n\f\x00]+)"  # 1 whitespace run
+    rb"|(\((?:[^\\()]+|\\.)*\))"  # 2 literal string, no nested parens
+    rb"|(<<)"  # 3 inline dictionary open
+    rb"|(<[0-9A-Fa-f \t\r\n\f\x00]*>)"  # 4 hex string
+    rb"|(\[)"  # 5
+    rb"|(\])"  # 6
+    rb"|(/[^\s()<>\[\]/]*)"  # 7 name
+    rb"|([-+]?\d*\.?\d+)"  # 8 number
+    rb"|([A-Za-z'\"*]+)",  # 9 operator
+    re.S,
+)
+
+
+def _skip_inline_dict(content: bytes, j: int) -> int:
+    """Skip a balanced ``<< … >>`` starting just after the opening
+    ``<<`` at ``j``; returns the position after the closing ``>>``."""
+    depth, n = 1, len(content)
+    while j < n and depth:
+        if content[j : j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif content[j : j + 2] == b">>":
+            depth -= 1
+            j += 2
+        else:
+            j += 1
+    if depth:
+        raise PdfError("unterminated inline dictionary")
+    return j
+
+
+def _skip_inline_image(content: bytes, end_of_bi: int) -> int:
+    """§8.9.7 inline image: skip ``<pairs> ID <binary> EI`` starting
+    after the BI operator; returns the position after EI. The binary
+    payload is NOT token syntax — without this skip it would tokenize
+    as garbage (or fake text). Data starts one whitespace byte after
+    ID; EI must be delimiter-bounded on both sides."""
+    idm = re.compile(rb"\bID[\r\n ]").search(content, end_of_bi)
+    if idm is None:
+        raise PdfError("inline image missing ID")
+    j = idm.end()
+    while True:
+        j = content.find(b"EI", j)
+        if j == -1:
+            raise PdfError("inline image missing EI")
+        before = content[j - 1 : j]
+        after = content[j + 2 : j + 3]
+        if (
+            before and before[0] in _WS_BYTES
+            and (after == b"" or after[0] in _WS_BYTES)
+        ):
+            break
+        j += 2
+    return j + 2
+
+
 def _tokenize(content: bytes):
+    """Tokenize a content stream; returns a list of
+    ('str', raw bytes) | ('num', f) | ('name', b) | ('op', b) | ('arr', list).
+
+    r6: a single-regex ``finditer`` scanner covers the common grammar
+    (one C-level match per token instead of a Python branch ladder with
+    per-character loops — the tokenizer was 45% of the extraction
+    pipeline's CPU). Anything it does not cover — nested-paren
+    strings, malformed hex, stray bytes — bails and the stream is
+    re-tokenized from scratch by the reference implementation
+    (``_tokenize_slow``), so token semantics and error behavior are
+    identical by construction. Inline dicts and inline images are
+    positional skips shared by both paths."""
+    try:
+        return _tokenize_fast(content)
+    except _FastBail:
+        return list(_tokenize_slow(content))
+
+
+def _tokenize_fast(content: bytes) -> list:
+    out: list = []
+    arr_stack: list[list] = []
+    pos, n = 0, len(content)
+    scan = _SCAN_RE.finditer
+    while pos < n:
+        restart = False
+        for m in scan(content, pos):
+            if m.start() != pos:
+                raise _FastBail()
+            g = m.lastindex
+            pos = m.end()
+            if g == 1:
+                continue
+            if g == 2:
+                tok = ("str", _unescape(m.group(2)[1:-1]))
+            elif g == 8:
+                tok = ("num", float(m.group(8)))
+            elif g == 7:
+                tok = ("name", m.group(7))
+            elif g == 9:
+                opb = m.group(9)
+                if opb == b"BI":
+                    pos = _skip_inline_image(content, pos)
+                    restart = True
+                    break
+                tok = ("op", opb)
+            elif g == 5:
+                arr_stack.append([])
+                continue
+            elif g == 6:
+                if not arr_stack:
+                    raise _FastBail()  # slow path raises its native error
+                tok = ("arr", arr_stack.pop())
+            elif g == 4:
+                hx = bytes(b for b in m.group(4)[1:-1] if b not in _WS_BYTES)
+                if len(hx) % 2:
+                    hx += b"0"
+                tok = ("str", bytes.fromhex(hx.decode("ascii")))
+            else:  # g == 3
+                pos = _skip_inline_dict(content, pos)
+                restart = True
+                break
+            if arr_stack:
+                arr_stack[-1].append(tok)
+            else:
+                out.append(tok)
+        else:
+            if pos != n:
+                raise _FastBail()
+            break
+        if restart:
+            continue
+    return out
+
+
+def _tokenize_slow(content: bytes):
     """Yield ('str', raw bytes) | ('num', f) | ('name', b) | ('op', b) | ('arr', list).
 
     String tokens stay RAW BYTES here — the byte→text decode depends on

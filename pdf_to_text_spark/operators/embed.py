@@ -183,7 +183,14 @@ def centrality_topk_from_text(
     # pairwise compute it unlocks. At crawl scale the group-blocked
     # frame fed here is already bounded per block (see q43's filter /
     # the LSH-blocked q49 path), so the broadcast stays bounded too.
-    pairs = a.join(F.broadcast(b), ["grp"]).filter(F.col("id_a") != F.col("id_b"))
+    # each UNORDERED pair is computed once (id_a < id_b) and its decimal
+    # addend credited to both endpoints: dot(va, vb) and dot(vb, va) are
+    # bit-identical (IEEE multiplication commutes and the addition order
+    # over i is the same), and the decimal sum is exact, so summing the
+    # same addend multiset per endpoint reproduces the two-sided join's
+    # result while halving the join output, the dot products and the
+    # double→decimal casts.
+    pairs = a.join(F.broadcast(b), ["grp"]).filter(F.col("id_a") < F.col("id_b"))
     if unpack:
         prod = F.lit(0.0)
         for i in range(dim):
@@ -192,11 +199,21 @@ def centrality_topk_from_text(
         from pdf_to_text_spark.operators.similarity import dot
 
         prod = dot(F.col("va"), F.col("vb"))
-    cent = pairs.groupBy("grp", "id_a").agg(
+    scored = pairs.select(
+        "grp", "id_a", "id_b", prod.cast("decimal(28,12)").alias("d")
+    )  # bind d as an attribute so the dot evaluates once per pair
+    contrib = scored.select(
+        "grp",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.col("d")),
+                F.struct(F.col("id_b").alias("id"), F.col("d")),
+            )
+        ).alias("e"),
+    ).select("grp", F.col("e.id").alias("id_a"), F.col("e.d").alias("d"))
+    cent = contrib.groupBy("grp", "id_a").agg(
         # decimal addends: order-independent rounded sum (oracle parity)
-        F.round(F.sum(prod.cast("decimal(28,12)")), 6)
-        .cast("double")
-        .alias("centrality")
+        F.round(F.sum("d"), 6).cast("double").alias("centrality")
     )
     w = W.partitionBy("grp").orderBy(F.desc("centrality"), F.asc("id_a"))
     return (

@@ -33,32 +33,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-# --- fixed-width twins (r6): Catalyst higher-order functions are
-# interpreted PER ELEMENT, so an O(rows·dim) or O(pairs·dim) dot pays
-# interpreter dispatch for every component. When the width is known
-# statically (literal query vectors / planes / centroids, fixed-dim
-# embedding tables) the same arithmetic unrolls into a chain of scalar
-# multiply-adds that whole-stage codegen compiles. The op sequence is
-# bit-identical to the aggregate form: same left-to-right
-# ((0.0 + p0) + p1) + … order, same per-element ops.
-
-
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
-    return acc
-
-
-def l2_norm_fixed(a: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i) * a.getItem(i)
-    return F.sqrt(acc)
-
-
-def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
-    return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))
+# r6 measured NEGATIVE result, recorded so it is not retried: unrolling
+# these dots into fixed-width getItem chains (64 scalar multiply-adds
+# per dot) was 8x SLOWER on the bucket-pair scoring path (39.4 s vs
+# 4.7 s at sf1.0) and no better anywhere else — the wide expression
+# trees defeat whole-stage codegen (generated method size), and the
+# interpreted-fallback evaluation re-walks the giant tree per row. The
+# aggregate/zip_with forms stay.
 
 
 def brute_force_topk(
@@ -74,7 +55,7 @@ def brute_force_topk(
     q = F.lit(query_vec).cast("array<double>")
     v = F.col(vec_col).cast("array<double>")
     return (
-        df.select(F.col(id_col), F.round(cosine_fixed(v, q, len(query_vec)), 6).alias("score"))
+        df.select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -83,9 +64,8 @@ def brute_force_topk(
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = (vec · plane_i) > 0."""
     bucket = F.lit(0)
-    v = vec.cast("array<double>")
     for i, p in enumerate(planes):
-        d = dot_fixed(v, F.lit(p).cast("array<double>"), len(p))
+        d = dot(vec.cast("array<double>"), F.lit(p).cast("array<double>"))
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
     return bucket
 
@@ -110,7 +90,7 @@ def lsh_topk(
     return (
         df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
         .filter(F.col("bucket") == F.lit(qb_val))
-        .select(F.col(id_col), F.round(cosine_fixed(v, q, len(query_vec)), 6).alias("score"))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -122,9 +102,7 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     deterministic centroid literals the assignment is reproducible on
     any engine — the DuckDB oracle replays it exactly."""
     v = vec.cast("array<double>")
-    dots = F.array(
-        *[dot_fixed(v, F.lit(c).cast("array<double>"), len(c)) for c in centroids]
-    )
+    dots = F.array(*[dot(v, F.lit(c).cast("array<double>")) for c in centroids])
     return F.array_position(dots, F.array_max(dots)) - 1
 
 
@@ -152,7 +130,7 @@ def ivf_topk(
     return (
         df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
         .filter(F.col("cell").isin(probe_cells))
-        .select(F.col(id_col), F.round(cosine_fixed(v, q, len(query_vec)), 6).alias("score"))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -258,15 +236,12 @@ def lsh_near_dup_pairs(
         with_b = with_b.join(F.broadcast(hot), "bucket", "left_anti")
     a = with_b.select("bucket", F.col(id_col).alias("id_a"), F.col("_vn").alias("va"))
     b = with_b.select("bucket", F.col(id_col).alias("id_b"), F.col("_vn").alias("vb"))
-    # pair scoring is O(pairs·dim): use the codegen'd fixed-width dot
-    # (vector width = plane width by construction of the bucketing)
-    pair_dim = len(planes[0]) if planes else 0
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "bucket", "id_a", "id_b",
-            F.round(dot_fixed(F.col("va"), F.col("vb"), pair_dim), 6).alias("score"),
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
