@@ -213,7 +213,10 @@ def _q10_meaningful_len(spark, sf):
 
 
 def _q11_charset_clean(spark, sf):
-    d = _par(spark, _t(spark, sf, "documents"))
+    # measured at sf1.0: the charset regex is light enough that the
+    # _par shuffle costs more than the single-task compute (1.5s vs
+    # 3.0s) — the one documents query where the guard loses
+    d = _t(spark, sf, "documents")
     return d.select("doc_id", X.charset_clean(F.col("text")).alias("cleaned"))
 
 

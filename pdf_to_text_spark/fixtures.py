@@ -60,7 +60,7 @@ ROW_CLASSES = [
 
 # Corpus-mix version tag — part of every bench-corpus cache key so a
 # mix change can NEVER silently reuse a stale cached corpus.
-MIX_TAG = "m5"
+MIX_TAG = "m6"  # m6 = m5 content in bounded row groups (physical layout only)
 
 # Full widened-subset coverage for correctness runs (--extended):
 ROW_CLASSES_EXTENDED = ROW_CLASSES + [
@@ -393,6 +393,13 @@ def write_corpus(
             schema=_PAGES_SCHEMA,
         ),
         f"{out_dir}/pages.parquet",
+        # bounded row groups (r6): pyarrow's default wrote the whole
+        # corpus as ONE row group, and Spark's byte-range splitting
+        # cannot split inside a row group — an 892 MB bench corpus
+        # scanned (and fed the salted repartition's shuffle write) on a
+        # single task. ~16 MB groups give the reader real splits; the
+        # logical content is unchanged (same rows, same order).
+        row_group_size=4096,
     )
     if not goldens:
         return dict(Counter(r["cls"] for r in rows))

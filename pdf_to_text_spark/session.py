@@ -58,6 +58,14 @@ def get_spark(
         # batch of multi-MB documents fits executor memory at 100 TB scale
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # scan-parallelism floor = core count (r6): the bench tables are
+        # single files a hair over one 128 MB split, so TPC-H-shaped
+        # scans ran on ≤2 tasks; a floor of one split per core lets the
+        # reader split big single files down to row-group granularity
+        # (q01 2.5→1.9 s, q03 2.0→1.4 s at sf1.0). On a real cluster
+        # whose tables already ship thousands of files this floor is a
+        # no-op.
+        .config("spark.sql.files.minPartitionNum", str(n_shuffle))
         # task-side output commit (v2): tasks move their files into the
         # destination at task-commit instead of a sequential driver-side
         # merge at job-commit — with 64 bucket directories the v1 merge
