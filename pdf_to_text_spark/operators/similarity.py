@@ -167,6 +167,87 @@ def generate_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]
     ]
 
 
+def _bucket_norm_projection(
+    df: DataFrame, planes: list[list[float]], vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, bucket, _vn) via a numpy ``mapInArrow`` kernel — see the
+    call site in ``lsh_near_dup_pairs`` for the exactness argument."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("_vn", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    p = len(planes[0]) if planes else 0
+    pl = [[float(x) for x in row] for row in planes]
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in it:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            vl = rb.column(1)
+            # offsets are absolute indices into the (unsliced) child
+            # values array pyarrow returns from .values
+            off = np.asarray(vl.offsets, dtype=np.int64)
+            widths = off[1:] - off[:-1]
+            vals = vl.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            nulls = pc.is_null(vl).to_numpy(zero_copy_only=False)
+            buckets = np.zeros(n, dtype=np.int64)
+            vn_out: list = [None] * n
+            ok = (~nulls) & (widths == p)
+            rows = np.flatnonzero(ok)
+            if len(rows):
+                idx = off[rows][:, None] + np.arange(p)[None, :]
+                X = vals[idx]
+                b = np.zeros(len(rows), dtype=np.int64)
+                for i, plane in enumerate(pl):
+                    d = np.zeros(len(rows))
+                    for j in range(p):  # sequential over dims = exact fold order
+                        d += X[:, j] * plane[j]
+                    b += np.where(d > 0, 1 << i, 0)
+                buckets[rows] = b
+                s = np.zeros(len(rows))
+                for j in range(p):
+                    s += X[:, j] * X[:, j]
+                nrm = np.sqrt(s)
+                VN = X / nrm[:, None]
+                vn_rows = VN.tolist()
+                for k, r in enumerate(rows):
+                    vn_out[r] = vn_rows[k]
+            # odd rows: null vec → vn None; off-width → bucket 0 (the
+            # zip_with null-padding poisons every dot), vn from own width
+            for r in np.flatnonzero(~ok):
+                if nulls[r]:
+                    continue
+                row = vals[off[r] : off[r + 1]]
+                s = 0.0
+                for x in row:
+                    s += x * x
+                nrm = s**0.5
+                vn_out[r] = [x / nrm for x in row]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(buckets, type=pa.int32()),
+                    pa.array(vn_out, type=pa.list_(pa.float64())),
+                ],
+                names=[id_col, "bucket", "_vn"],
+            )
+
+    src = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    return src.mapInArrow(kernel, out_schema)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     planes: list[list[float]],
@@ -209,19 +290,17 @@ def lsh_near_dup_pairs(
     # per PAIR downstream instead of dot+2 norms — the embed-tier
     # lesson), and cache. At 100 TB this frame is a materialized
     # bucketed intermediate table, not a cache.
-    v = F.col(vec_col).cast("array<double>")
-    with_b = df.select(
-        F.col(id_col), v.alias("_v"), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
-    )
-    # norm bound as its own column first: an expression referenced in a
-    # transform lambda re-evaluates PER ELEMENT
-    with_b = with_b.withColumn(
-        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    ).select(
-        F.col(id_col),
-        "bucket",
-        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_vn"),
-    )
+    # r6: the projection runs as a numpy mapInArrow kernel — the
+    # interpreted higher-order exprs (|planes|·dim + 2·dim dispatches
+    # per row) were ~40% of the whole query. The kernel accumulates
+    # STRICTLY SEQUENTIALLY over dimensions (one vectorized add per
+    # dim, rows in parallel), which reproduces Catalyst's left-to-right
+    # ((0.0 + p0) + p1)… fold bit-for-bit — no BLAS reassociation —
+    # so bucket signs and normalized components are identical. Null /
+    # off-width vectors reproduce the expression semantics in-kernel
+    # (zip_with null-padding poisons every dot → bucket 0; vn from the
+    # row's own width).
+    with_b = _bucket_norm_projection(df, planes, vec_col, id_col)
     if cache:
         from pdf_to_text_spark.core.caching import register_cache
 

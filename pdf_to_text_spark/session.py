@@ -54,9 +54,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # large binary rows (PDF whales): keep Arrow batches bounded so a
-        # batch of multi-MB documents fits executor memory at 100 TB scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # large binary rows (PDF whales): bound Arrow batches by BYTES
+        # (r6) so a batch of multi-MB documents fits executor memory at
+        # 100 TB scale. The old 256-record cap bounded nothing for true
+        # whales (256 × any size) while taxing every small-row pandas
+        # UDF with ~200 batches per task of per-batch overhead; the
+        # byte cap handles both (a batch closes when either limit hits).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # scan-parallelism floor = core count (r6): the bench tables are
         # single files a hair over one 128 MB split, so TPC-H-shaped
