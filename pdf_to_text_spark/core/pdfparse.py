@@ -1476,7 +1476,157 @@ def _runs_from_content(
     content: bytes,
     fonts: dict[bytes, tuple[int, dict[int, str]] | None] | None = None,
 ) -> list[tuple[float, float, str]]:
-    """Interpret text operators → (y, x, text) runs."""
+    """Interpret text operators → (y, x, text) runs.
+
+    r6: the common grammar runs through ``_runs_fast`` — the regex
+    scanner and the operator interpreter fused into one loop (no token
+    list, no second dispatch pass). Streams outside the scanner's
+    grammar fall back to the reference tokenizer + this interpreter,
+    so behavior (including error classes) is identical by
+    construction."""
+    try:
+        return _runs_fast(content, fonts)
+    except _FastBail:
+        return _runs_interpret(_tokenize_slow(content), fonts)
+
+
+def _runs_fast(
+    content: bytes,
+    fonts: dict[bytes, tuple[int, dict[int, str]] | None] | None,
+) -> list[tuple[float, float, str]]:
+    runs: list[tuple[float, float, str]] = []
+    x = y = 0.0
+    leading = 0.0
+    stack: list = []
+    arr_stack: list[list] = []
+    cur_font: tuple[int, dict[int, str]] | None = None
+    pos, n = 0, len(content)
+    scan = _SCAN_RE.finditer
+    while pos < n:
+        restart = False
+        for m in scan(content, pos):
+            if m.start() != pos:
+                raise _FastBail()
+            g = m.lastindex
+            pos = m.end()
+            if g == 1:  # whitespace
+                continue
+            if arr_stack:
+                # inside [ … ]: build the literal exactly as the
+                # tokenizer does (ops inside arrays become array items)
+                if g == 5:
+                    arr_stack.append([])
+                elif g == 6:
+                    items = arr_stack.pop()
+                    if arr_stack:
+                        arr_stack[-1].append(("arr", items))
+                    else:
+                        stack.append(("arr", items))
+                elif g == 2:
+                    arr_stack[-1].append(("str", _unescape(m.group(2)[1:-1])))
+                elif g == 8:
+                    arr_stack[-1].append(("num", float(m.group(8))))
+                elif g == 7:
+                    arr_stack[-1].append(("name", m.group(7)))
+                elif g == 4:
+                    hx = bytes(b for b in m.group(4)[1:-1] if b not in _WS_BYTES)
+                    if len(hx) % 2:
+                        hx += b"0"
+                    arr_stack[-1].append(("str", bytes.fromhex(hx.decode("ascii"))))
+                elif g == 9:
+                    opb = m.group(9)
+                    if opb == b"BI":
+                        pos = _skip_inline_image(content, pos)
+                        restart = True
+                        break
+                    arr_stack[-1].append(("op", opb))
+                else:  # g == 3 inline dict
+                    pos = _skip_inline_dict(content, pos)
+                    restart = True
+                    break
+                continue
+            if g == 8:
+                stack.append(("num", float(m.group(8))))
+                continue
+            if g == 9:
+                val = m.group(9)
+                if val == b"BT":
+                    x = y = 0.0
+                elif val == b"Td":
+                    x += stack[-2][1]
+                    y += stack[-1][1]
+                elif val == b"TD":
+                    leading = -stack[-1][1]
+                    x += stack[-2][1]
+                    y += stack[-1][1]
+                elif val == b"Tm":
+                    x, y = stack[-2][1], stack[-1][1]
+                elif val == b"TL":
+                    leading = stack[-1][1]
+                elif val == b"T*":
+                    y -= leading
+                elif val == b"Tj":
+                    runs.append((y, x, _decode_shown(stack[-1][1], cur_font)))
+                elif val == b"'":
+                    y -= leading
+                    runs.append((y, x, _decode_shown(stack[-1][1], cur_font)))
+                elif val == b"TJ":
+                    runs.append((y, x, _tj_text(stack[-1][1], cur_font)))
+                elif val == b"Tf":
+                    if len(stack) >= 2 and stack[-2][0] == "name":
+                        cur_font = (fonts or {}).get(stack[-2][1])
+                elif val == b"BI":
+                    pos = _skip_inline_image(content, pos)
+                    restart = True
+                    break
+                # ET and anything else: no text-position effect
+                stack.clear()
+                continue
+            if g == 2:
+                stack.append(("str", _unescape(m.group(2)[1:-1])))
+                continue
+            if g == 7:
+                stack.append(("name", m.group(7)))
+                continue
+            if g == 5:
+                arr_stack.append([])
+                continue
+            if g == 6:
+                raise _FastBail()  # ']' with no open array
+            if g == 4:
+                hx = bytes(b for b in m.group(4)[1:-1] if b not in _WS_BYTES)
+                if len(hx) % 2:
+                    hx += b"0"
+                stack.append(("str", bytes.fromhex(hx.decode("ascii"))))
+                continue
+            # g == 3 inline dict
+            pos = _skip_inline_dict(content, pos)
+            restart = True
+            break
+        else:
+            if pos != n:
+                raise _FastBail()
+            break
+        if restart:
+            continue
+    return runs
+
+
+def _tj_text(items: list, cur_font) -> str:
+    parts: list[str] = []
+    for kind, val in items:
+        if kind == "str":
+            parts.append(_decode_shown(val, cur_font))
+        elif kind == "num" and val <= TJ_SPACE_KERN:
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _runs_interpret(
+    tokens,
+    fonts: dict[bytes, tuple[int, dict[int, str]] | None] | None = None,
+) -> list[tuple[float, float, str]]:
+    """Reference interpreter over a token stream (fallback path)."""
     runs: list[tuple[float, float, str]] = []
     x = y = 0.0
     leading = 0.0
@@ -1484,15 +1634,9 @@ def _runs_from_content(
     cur_font: tuple[int, dict[int, str]] | None = None
 
     def tj_text(items: list) -> str:
-        parts: list[str] = []
-        for kind, val in items:
-            if kind == "str":
-                parts.append(_decode_shown(val, cur_font))
-            elif kind == "num" and val <= TJ_SPACE_KERN:
-                parts.append(" ")
-        return "".join(parts)
+        return _tj_text(items, cur_font)
 
-    for tok in _tokenize(content):
+    for tok in tokens:
         kind, val = tok
         if kind != "op":
             stack.append(tok)

@@ -73,6 +73,29 @@ def test_tokenizer_fast_matches_slow_on_adversarial_streams():
         assert P._tokenize(c) == list(P._tokenize_slow(c))
 
 
+def test_fused_run_interpreter_matches_reference():
+    from pdf_to_text_spark.core import pdfparse as P
+
+    cases = [
+        b"BT /F1 12 Tf 72 720 Td (a) Tj 0 -14 Td (b) Tj ET",
+        b"BT 14 TL (x) ' (y) ' ET",
+        b"BT 1 0 0 1 50 600 Tm [ (ke) -300 (rn) ] TJ T* (next) Tj ET",
+        b"BT /F9 9 Tf (no font map) Tj ET",
+        b"<< /MCID 2 >> BDC BT (t) Tj ET EMC",
+        b"BT 5 7 TD (td) Tj T* (below) Tj ET",
+        b"",
+    ]
+    for c in cases:
+        fast = P._runs_fast(c, None)
+        ref = P._runs_interpret(P._tokenize_slow(c), None)
+        assert fast == ref, f"runs mismatch on {c!r}"
+    # bail case falls through _runs_from_content to the reference path
+    nested = b"BT ((nested) parens) Tj ET"
+    assert P._runs_from_content(nested, None) == P._runs_interpret(
+        P._tokenize_slow(nested), None
+    )
+
+
 def test_bucket_norm_kernel_matches_expression_path(spark):
     from pdf_to_text_spark.operators import similarity as S
 
