@@ -41,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _par(spark: SparkSession, df: DataFrame, min_bytes: int = 4 * 1024 * 1024) -> DataFrame:
     """CPU-parallelism guard for compute-bound per-row stages (round-4
     q29 finding): the sf test tables are SINGLE-ROW-GROUP parquet
     files, so Spark's byte-based file splitting hands them ONE task no
@@ -51,7 +51,26 @@ def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
     noise 1:1. At 100 TB inputs arrive as thousands of files and this
     is automatic; the explicit repartition (a ~KB-per-row shuffle,
     trivial next to the compute it unlocks) makes compute-bound stages
-    scale with cores instead of with input-file layout."""
+    scale with cores instead of with input-file layout.
+
+    r6: SIZE-GATED — below ~4 MiB of input the exchange's fixed cost
+    exceeds the single-core compute it parallelizes (measured at
+    sf0.1: q14 1.2 s ungated vs 1.9 s with the shuffle; at sf1.0 the
+    same query is 11.4 s without vs 1.3 s with). The gate derives from
+    the actual input bytes, not a scale-factor constant, so it is the
+    guide's "partitioning from input size" rule rather than local-mode
+    tuning."""
+    import os
+
+    try:
+        n_bytes = sum(
+            os.path.getsize(f[7:] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except OSError:
+        n_bytes = None
+    if n_bytes is not None and n_bytes < min_bytes:
+        return df
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -342,21 +361,25 @@ def _q30_exact_dedup(spark, sf):
 
 
 def _q31_minhash_sigs(spark, sf):
-    return D.minhash_signatures(_par(spark, _t(spark, sf, "documents")), num_hashes=8)
+    # md5-per-shingle cost amortizes the shuffle far below the texty
+    # default gate (measured 0.68 s vs 1.6 s at sf0.1)
+    return D.minhash_signatures(_par(spark, _t(spark, sf, "documents"), min_bytes=1 << 18), num_hashes=8)
 
 
 def _q32_lsh_pairs(spark, sf):
     return D.minhash_lsh_pairs(
-        _par(spark, _t(spark, sf, "documents")), num_hashes=8, bands=4, max_bucket=200
+        _par(spark, _t(spark, sf, "documents"), min_bytes=1 << 18), num_hashes=8, bands=4, max_bucket=200
     )
 
 
 def _q33_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_par(spark, _t(spark, sf, "documents")), threshold=0.3, max_df=1000)
+    return D.ngram_jaccard_pairs(
+        _par(spark, _t(spark, sf, "documents"), min_bytes=1 << 18), threshold=0.3, max_df=1000
+    )
 
 
 def _q34_simhash(spark, sf):
-    return D.simhash_table(_par(spark, _t(spark, sf, "documents")))
+    return D.simhash_table(_par(spark, _t(spark, sf, "documents"), min_bytes=1 << 18))
 
 
 def _q52_near_dup_components(spark, sf):
@@ -369,7 +392,7 @@ def _q52_near_dup_components(spark, sf):
     from pdf_to_text_spark.plans.components import connected_components
 
     pairs = D.minhash_lsh_pairs(
-        _par(spark, _t(spark, sf, "documents")), num_hashes=8, bands=4, max_bucket=200
+        _par(spark, _t(spark, sf, "documents"), min_bytes=1 << 18), num_hashes=8, bands=4, max_bucket=200
     )
     return connected_components(pairs)
 
